@@ -1,0 +1,99 @@
+"""Train state + jitted train/eval step factories for the Tacotron family.
+
+Replaces the reference's per-batch Python training loop body
+(/root/reference/TTS/bin/train_tts.py:144-301) with a single jitted step:
+forward, composite loss, grads, optimizer update, batch-stats update. The
+reference's *separate stopnet optimizer* (train_tts.py:545-551) is subsumed
+by the stop_gradient boundary inside the model: stopnet params receive
+gradients only from the stopnet loss, everything else only from the
+spectrogram losses — one optax transform updates both, with identical
+semantics and one fewer host sync.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax.training import train_state
+
+from tts_tpu.losses.tts_losses import tacotron_loss
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def create_train_state(model, rng, batch: Dict, tx) -> TrainState:
+    """Initialize params/batch_stats from an example batch."""
+    init_rng, drop_rng = jax.random.split(rng)
+    kwargs = _model_kwargs(batch)
+    variables = model.init({"params": init_rng, "dropout": drop_rng},
+                           batch["text"], batch["text_lengths"],
+                           batch["mel"], batch["mel_lengths"], **kwargs)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tx,
+    )
+
+
+def _model_kwargs(batch: Dict) -> Dict:
+    kwargs = {}
+    if "speaker_ids" in batch:
+        kwargs["speaker_ids"] = batch["speaker_ids"]
+    if "speaker_embeddings" in batch:
+        kwargs["speaker_embeddings"] = batch["speaker_embeddings"]
+    return kwargs
+
+
+def make_train_step(model, loss_kwargs: Optional[Dict] = None,
+                    jit: bool = True) -> Callable:
+    """Returns step(state, batch, rng) -> (new_state, losses_dict)."""
+    loss_kwargs = dict(loss_kwargs or {})
+    loss_kwargs.setdefault("r", model.r)
+
+    def step(state: TrainState, batch: Dict, rng) -> Any:
+        drop_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            out, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["text"], batch["text_lengths"],
+                batch["mel"], batch["mel_lengths"],
+                train=True, rngs={"dropout": drop_rng},
+                mutable=["batch_stats"], **_model_kwargs(batch))
+            losses = tacotron_loss(out, batch, **loss_kwargs)
+            return losses["loss"], (losses, mutated)
+
+        grads, (losses, mutated) = jax.grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(
+            grads=grads, batch_stats=mutated.get("batch_stats", state.batch_stats))
+        losses = dict(losses)
+        losses["grad_norm"] = optax_global_norm(grads)
+        return new_state, losses
+
+    return jax.jit(step, donate_argnums=(0,)) if jit else step
+
+
+def make_eval_step(model, loss_kwargs: Optional[Dict] = None,
+                   jit: bool = True) -> Callable:
+    loss_kwargs = dict(loss_kwargs or {})
+    loss_kwargs.setdefault("r", model.r)
+
+    def step(state: TrainState, batch: Dict, rng) -> Dict:
+        out = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["text"], batch["text_lengths"],
+            batch["mel"], batch["mel_lengths"],
+            train=False, rngs={"dropout": rng}, **_model_kwargs(batch))
+        return tacotron_loss(out, batch, **loss_kwargs)
+
+    return jax.jit(step) if jit else step
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
