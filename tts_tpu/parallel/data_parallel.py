@@ -95,5 +95,5 @@ def make_dp_train_step(
         per_shard, mesh=mesh,
         in_specs=(state_spec, batch_spec, state_spec),
         out_specs=(state_spec, state_spec),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(smapped, donate_argnums=(0,))
