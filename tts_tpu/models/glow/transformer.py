@@ -1,0 +1,131 @@
+"""Relative-position transformer encoder for Glow-TTS.
+
+Capability parity with /root/reference/TTS/tts/layers/glow_tts/transformer.py:
+RelativePositionMultiHeadAttention with windowed relative K/V embeddings and
+optional proximal bias (l.9-227), conv FFN (l.228), encoder stack (l.265-319).
+Attention is a single batched einsum chain — MXU-friendly, shardable over
+heads (the layer the long-context design leaves shardable, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+class RelativePositionMultiHeadAttention(nn.Module):
+    channels: int
+    num_heads: int
+    rel_attn_window_size: Optional[int] = 4
+    input_length: Optional[int] = None  # block-local masking
+    proximal_bias: bool = False
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, attn_mask: Optional[Array] = None,
+                 train: bool = True) -> Array:
+        B, T, C = x.shape
+        H = self.num_heads
+        k_ch = C // H
+
+        q = nn.Dense(C, name="q")(x).reshape(B, T, H, k_ch)
+        k = nn.Dense(C, name="k")(x).reshape(B, T, H, k_ch)
+        v = nn.Dense(C, name="v")(x).reshape(B, T, H, k_ch)
+
+        scores = jnp.einsum("bthd,bshd->bhts", q, k) / math.sqrt(k_ch)
+
+        if self.rel_attn_window_size is not None:
+            W = self.rel_attn_window_size
+            emb_k = self.param("emb_rel_k",
+                               nn.initializers.normal(k_ch**-0.5),
+                               (2 * W + 1, k_ch))
+            # relative logits: q . emb_k[rel], rel clipped to window
+            rel = jnp.clip(
+                jnp.arange(T)[None, :] - jnp.arange(T)[:, None], -W, W) + W
+            rel_logits = jnp.einsum("bthd,rd->bhtr", q, emb_k) / math.sqrt(k_ch)
+            scores = scores + rel_logits[:, :, jnp.arange(T)[:, None],
+                                         rel]
+        if self.proximal_bias:
+            r = jnp.arange(T, dtype=jnp.float32)
+            diff = r[None, :] - r[:, None]
+            scores = scores + (-jnp.log1p(jnp.abs(diff)))[None, None]
+        if self.input_length is not None:
+            block = jnp.abs(jnp.arange(T)[None, :] - jnp.arange(T)[:, None]) \
+                < self.input_length
+            scores = jnp.where(block[None, None], scores, -1e4)
+        if attn_mask is not None:
+            scores = jnp.where(attn_mask, scores, -1e4)
+
+        p = jax.nn.softmax(scores, axis=-1)
+        p = nn.Dropout(self.dropout_rate, deterministic=not train)(p)
+        out = jnp.einsum("bhts,bshd->bthd", p, v)
+
+        if self.rel_attn_window_size is not None:
+            emb_v = self.param("emb_rel_v",
+                               nn.initializers.normal(k_ch**-0.5),
+                               (2 * W + 1, k_ch))
+            out = out + jnp.einsum("bhts,tsr,rd->bthd", p,
+                                   jax.nn.one_hot(rel, 2 * W + 1), emb_v)
+
+        out = out.reshape(B, T, C)
+        return nn.Dense(C, name="out")(out)
+
+
+class FFN(nn.Module):
+    """Conv feed-forward (≙ transformer.py:228-263)."""
+
+    out_channels: int
+    filter_channels: int
+    kernel_size: int = 1
+    dropout_rate: float = 0.0
+    activation: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array, x_mask: Array, train: bool = True) -> Array:
+        y = nn.Conv(self.filter_channels, (self.kernel_size,), padding="SAME",
+                    name="conv1")(x * x_mask)
+        if self.activation == "gelu":
+            y = y * jax.nn.sigmoid(1.702 * y)
+        else:
+            y = nn.relu(y)
+        y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
+        y = nn.Conv(self.out_channels, (self.kernel_size,), padding="SAME",
+                    name="conv2")(y * x_mask)
+        return y * x_mask
+
+
+class RelPosTransformer(nn.Module):
+    """Stack of rel-pos attention + conv FFN blocks (≙ transformer.py:265-319)."""
+
+    hidden_channels: int = 192
+    filter_channels: int = 768
+    num_heads: int = 2
+    num_layers: int = 6
+    kernel_size: int = 3
+    dropout_rate: float = 0.1
+    rel_attn_window_size: Optional[int] = 4
+    input_length: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: Array, x_mask: Array, train: bool = True) -> Array:
+        attn_mask = (x_mask[:, None, :, 0] * x_mask[:, None, None, :, 0]) > 0
+        for i in range(self.num_layers):
+            y = RelativePositionMultiHeadAttention(
+                self.hidden_channels, self.num_heads,
+                self.rel_attn_window_size, self.input_length,
+                dropout_rate=self.dropout_rate,
+                name=f"attn_{i}")(x * x_mask, attn_mask, train=train)
+            y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
+            x = nn.LayerNorm(name=f"ln1_{i}")(x + y)
+            y = FFN(self.hidden_channels, self.filter_channels,
+                    self.kernel_size, self.dropout_rate,
+                    name=f"ffn_{i}")(x, x_mask, train=train)
+            y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
+            x = nn.LayerNorm(name=f"ln2_{i}")(x + y)
+        return x * x_mask
