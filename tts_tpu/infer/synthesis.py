@@ -1,0 +1,127 @@
+"""End-to-end synthesis helper: text -> id sequence -> model -> waveform.
+
+Capability parity with /root/reference/TTS/tts/utils/synthesis.py:10-262
+(text_to_seqvec, model dispatch tacotron/glow, GST style conditioning,
+Griffin-Lim decode + silence trim). The backend dispatch torch/tf/tflite
+collapses to one jitted JAX path (+ the export module for edge targets).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tts_tpu.text import phoneme_to_sequence, text_to_sequence
+
+
+def text_to_seqvec(text: str, c: Dict, tp=None) -> np.ndarray:
+    """(≙ synthesis.py:10-21)."""
+    if c.get("use_phonemes", False):
+        seq = phoneme_to_sequence(
+            text, c.get("text_cleaner", "phoneme_cleaners"),
+            language=c.get("phoneme_language", "en-us"),
+            enable_eos_bos=c.get("enable_eos_bos_chars", False), tp=tp)
+    else:
+        seq = text_to_sequence(text, c.get("text_cleaner", "english_cleaners"),
+                               tp=tp)
+    return np.asarray(seq, dtype=np.int32)
+
+
+def compute_style_mel(style_wav: str, ap) -> np.ndarray:
+    """(≙ synthesis.py:24-30)."""
+    wav = ap.load_wav(style_wav)
+    return ap.melspectrogram(wav)[None]
+
+
+def run_model(model, variables, inputs: jnp.ndarray,
+              c: Dict,
+              speaker_id: Optional[int] = None,
+              speaker_embedding: Optional[np.ndarray] = None,
+              style_mel: Optional[np.ndarray] = None,
+              max_decoder_steps: Optional[int] = None,
+              rng: Optional[Any] = None) -> Dict[str, jnp.ndarray]:
+    """Model-family dispatch (≙ run_model_torch, synthesis.py:48-67)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    kwargs: Dict[str, Any] = {}
+    if speaker_id is not None:
+        kwargs["speaker_ids"] = jnp.asarray([speaker_id], jnp.int32)
+    if speaker_embedding is not None:
+        kwargs["speaker_embeddings"] = jnp.asarray(speaker_embedding)[None]
+    model_name = c.get("model", "tacotron2").lower()
+    if model_name == "glow_tts":
+        out = model.apply(
+            variables, inputs, rngs={"dropout": rng, "noise": rng},
+            method=model.inference,
+            noise_scale=c.get("inference_noise_scale", 0.33),
+            length_scale=c.get("length_scale", 1.0),
+            y_max_length=max_decoder_steps or 1024, **kwargs)
+        out["postnet_outputs"] = out["model_outputs"]
+        return out
+    if style_mel is not None:
+        kwargs["style_mel"] = jnp.asarray(style_mel)
+    out = model.apply(
+        variables, inputs, rngs={"dropout": rng},
+        method=model.inference,
+        max_decoder_steps=max_decoder_steps,
+        mutable=False, **kwargs)
+    return out
+
+
+def inv_spectrogram(postnet_output: np.ndarray, ap, c: Dict) -> np.ndarray:
+    """(≙ synthesis.py:81-89): linear (tacotron) or mel (tacotron2) GL decode."""
+    if c.get("model", "tacotron2").lower() == "tacotron":
+        return ap.inv_spectrogram(postnet_output)
+    return ap.inv_melspectrogram(postnet_output)
+
+
+def trim_silence(wav: np.ndarray, ap) -> np.ndarray:
+    """(≙ synthesis.py:93-96)."""
+    margin = int(ap.sample_rate * 0.01)
+    return wav[margin:-margin] if len(wav) > 2 * margin else wav
+
+
+def synthesis(
+    model,
+    variables,
+    text: str,
+    c: Dict,
+    ap,
+    *,
+    use_griffin_lim: bool = True,
+    speaker_id: Optional[int] = None,
+    speaker_embedding: Optional[np.ndarray] = None,
+    style_wav: Optional[str] = None,
+    do_trim_silence: bool = False,
+    max_decoder_steps: Optional[int] = None,
+    tp=None,
+    rng=None,
+) -> Dict[str, Any]:
+    """Full pipeline (≙ synthesis(), synthesis.py:178-262). Returns dict with
+    'wav' (if GL), 'postnet_outputs' (normalized spectrogram, valid frames
+    only), 'alignments'."""
+    seq = text_to_seqvec(text, c, tp=tp)
+    inputs = jnp.asarray(seq)[None]
+    style_mel = None
+    if style_wav is not None and c.get("use_gst", False):
+        style_mel = compute_style_mel(style_wav, ap)
+    out = run_model(model, variables, inputs, c, speaker_id,
+                    speaker_embedding, style_mel, max_decoder_steps, rng)
+    postnet = np.asarray(out["postnet_outputs"])[0]
+    if "mel_lengths" in out:
+        n_valid = int(np.asarray(out["mel_lengths"])[0])
+        if n_valid > 0:
+            postnet = postnet[:n_valid]
+    result: Dict[str, Any] = {
+        "postnet_outputs": postnet,
+        "alignments": np.asarray(out["alignments"])[0],
+        "raw_outputs": out,
+    }
+    if use_griffin_lim:
+        wav = inv_spectrogram(postnet, ap, c)
+        if do_trim_silence:
+            wav = trim_silence(wav, ap)
+        result["wav"] = wav
+    return result

@@ -1,0 +1,97 @@
+"""Synthesizer: checkpointed TTS model + optional GAN vocoder, sentence-wise.
+
+Capability parity with /root/reference/TTS/server/synthesizer.py:28-193
+(model + vocoder loading, pysbd sentence segmentation -> regex splitter here,
+per-sentence synthesis with silence joins, RTF logging).
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tts_tpu.audio import AudioProcessor
+from tts_tpu.config import load_config
+from tts_tpu.infer.synthesis import synthesis
+from tts_tpu.models.registry import setup_model
+from tts_tpu.text import num_symbols
+from tts_tpu.train.checkpoint import load_checkpoint
+
+_SENTENCE_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z\"'(])|(?<=[.!?])$")
+
+
+def split_into_sentences(text: str) -> List[str]:
+    """Regex sentence segmentation (pysbd-free ≙ synthesizer.py:129-133)."""
+    parts = [s.strip() for s in _SENTENCE_RE.split(text.strip())]
+    return [s for s in parts if s]
+
+
+class Synthesizer:
+    def __init__(
+        self,
+        tts_checkpoint: str,
+        tts_config: str,
+        vocoder_checkpoint: Optional[str] = None,
+        vocoder_config: Optional[str] = None,
+        use_cuda: bool = False,  # accepted for reference-CLI compat; ignored
+    ):
+        self.tts_config = load_config(tts_config)
+        self.ap = AudioProcessor(**self.tts_config.audio)
+        self.model = setup_model(
+            num_symbols(self.tts_config.get("use_phonemes", False)),
+            self.tts_config.get("num_speakers", 1), self.tts_config)
+        ckpt = load_checkpoint(tts_checkpoint)
+        self.variables = {"params": ckpt["params"]}
+        if ckpt.get("batch_stats"):
+            self.variables["batch_stats"] = ckpt["batch_stats"]
+
+        self.vocoder_model = None
+        self.vocoder_variables = None
+        if vocoder_checkpoint:
+            from tts_tpu.models.vocoder.registry import setup_generator
+            self.vocoder_config = load_config(vocoder_config)
+            self.vocoder_model = setup_generator(self.vocoder_config)
+            vckpt = load_checkpoint(vocoder_checkpoint)
+            self.vocoder_variables = {"params": vckpt["params"]}
+            self.vocoder_ap = AudioProcessor(**self.vocoder_config.audio)
+
+    def _vocode(self, mel_norm: np.ndarray) -> np.ndarray:
+        """Normalized mel -> waveform through the GAN vocoder
+        (≙ synthesizer.py:151-159)."""
+        mel = jnp.asarray(mel_norm)[None]
+        gen = self.vocoder_model
+        if hasattr(gen, "inference"):
+            wav = gen.apply(self.vocoder_variables, mel, method=gen.inference)
+        else:
+            wav = gen.apply(self.vocoder_variables, mel)
+        return np.asarray(wav)[0, :, 0]
+
+    def tts(self, text: str, speaker_id: Optional[int] = None) -> np.ndarray:
+        """Full text -> waveform with sentence joins + RTF print
+        (≙ Synthesizer.tts, synthesizer.py:135-193)."""
+        start = time.time()
+        wavs: List[np.ndarray] = []
+        sentences = split_into_sentences(text) or [text]
+        for sentence in sentences:
+            result = synthesis(
+                self.model, self.variables, sentence, self.tts_config,
+                self.ap, use_griffin_lim=self.vocoder_model is None,
+                speaker_id=speaker_id,
+                do_trim_silence=self.tts_config.get("do_trim_silence", False))
+            if self.vocoder_model is not None:
+                wav = self._vocode(result["postnet_outputs"])
+            else:
+                wav = result["wav"]
+            wavs.append(wav)
+            wavs.append(np.zeros(10000, np.float32))  # inter-sentence gap
+        out = np.concatenate(wavs)
+        process_time = time.time() - start
+        audio_time = len(out) / self.ap.sample_rate
+        print(f" > Processing time: {process_time:.3f}")
+        print(f" > Real-time factor: {process_time / max(audio_time, 1e-6):.3f}")
+        return out

@@ -128,7 +128,8 @@ class TacotronDecoderCell(nn.Module):
 
     n_mels: int = 80
     r: int = 7
-    memory_size: int = -1  # <=0: use the last r frames as the query memory
+    r_init: int = 0  # 0 -> r; fixes param shapes across gradual-training r
+    memory_size: int = -1  # <=0: use the last r_init frames as query memory
     query_dim: int = 256
     prenet_type: str = "original"
     prenet_dropout: bool = True
@@ -144,9 +145,14 @@ class TacotronDecoderCell(nn.Module):
     separate_stopnet: bool = True
 
     @property
+    def memory_frames(self) -> int:
+        if self.memory_size > 0:
+            return self.memory_size
+        return max(self.r_init, self.r)
+
+    @property
     def memory_dim(self) -> int:
-        frames = self.memory_size if self.memory_size > 0 else self.r
-        return frames * self.n_mels
+        return self.memory_frames * self.n_mels
 
     def setup(self):
         self.prenet = Prenet((256, 128), self.prenet_type,
@@ -162,7 +168,8 @@ class TacotronDecoderCell(nn.Module):
         self.project_to_decoder_in = nn.Dense(256, name="project_to_decoder_in")
         self.decoder_rnns = [nn.GRUCell(256, name=f"decoder_rnn_{i}")
                              for i in range(2)]
-        self.proj_to_mel = nn.Dense(self.r * self.n_mels, name="proj_to_mel")
+        self.proj_to_mel = nn.Dense(max(self.r_init, self.r) * self.n_mels,
+                                    name="proj_to_mel")
         self.stopnet = StopNet(name="stopnet")
 
     def __call__(self, carry: Dict[str, Any], memory_input: Array,
@@ -182,7 +189,7 @@ class TacotronDecoderCell(nn.Module):
             state, out = cell(carry["dec_rnns"][i], h)
             h = h + out  # residual (layers/tacotron.py decoder residual adds)
             rnn_states.append(state)
-        frames = self.proj_to_mel(h)
+        frames = self.proj_to_mel(h)[:, : self.r * self.n_mels]
         stop_in = jnp.concatenate([h, frames], axis=-1)
         if self.separate_stopnet:
             stop_in = jax.lax.stop_gradient(stop_in)
@@ -201,6 +208,7 @@ class Tacotron(nn.Module):
     num_chars: int = 200
     num_speakers: int = 1
     r: int = 7
+    r_init: int = 0
     n_mels: int = 80
     linear_dim: int = 1025
     memory_size: int = -1
@@ -228,7 +236,8 @@ class Tacotron(nn.Module):
                                   name="embedding")
         self.encoder = TacotronEncoder(name="encoder")
         self.decoder = TacotronDecoderCell(
-            n_mels=self.n_mels, r=self.r, memory_size=self.memory_size,
+            n_mels=self.n_mels, r=self.r, r_init=self.r_init,
+            memory_size=self.memory_size,
             prenet_type=self.prenet_type, prenet_dropout=self.prenet_dropout,
             attn_type=self.attn_type, attn_dim=self.attn_dim,
             attn_K=self.attn_K, location_attn=self.location_attn,
@@ -284,7 +293,7 @@ class Tacotron(nn.Module):
         flattened per step (≙ memory queue, layers/tacotron.py:330-360)."""
         B, T_mel, _ = mel.shape
         n_steps = T_mel // self.r
-        frames_needed = (self.memory_size if self.memory_size > 0 else self.r)
+        frames_needed = self.decoder.memory_frames
         flat = mel.reshape(B, T_mel * self.n_mels)
         pad = frames_needed * self.n_mels
         flat = jnp.pad(flat, ((0, 0), (pad, 0)))
@@ -333,7 +342,7 @@ class Tacotron(nn.Module):
         enc, mask = self._encode(text, text_lengths, False, speaker_ids,
                                  style_mel)
         carry = self._init_carry(enc, mask)
-        frames_needed = (self.memory_size if self.memory_size > 0 else self.r)
+        frames_needed = self.decoder.memory_frames
         carry["memory"] = jnp.zeros((B, frames_needed * self.n_mels))
         carry["done"] = jnp.zeros((B,), dtype=bool)
         carry["n_steps_done"] = jnp.zeros((B,), jnp.int32)

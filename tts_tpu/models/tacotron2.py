@@ -37,6 +37,7 @@ class DecoderCell(nn.Module):
 
     n_mels: int = 80
     r: int = 7
+    r_init: int = 0  # 0 -> use r; set to the max schedule r for gradual training
     encoder_dim: int = 512
     query_dim: int = 1024
     decoder_rnn_dim: int = 1024
@@ -67,8 +68,11 @@ class DecoderCell(nn.Module):
             windowing=self.windowing, name="attention")
         self.decoder_rnn = nn.OptimizedLSTMCell(self.decoder_rnn_dim,
                                                 name="decoder_rnn")
-        self.linear_projection = nn.Dense(self.r * self.n_mels,
-                                          name="linear_projection")
+        # sized by r_init and sliced to the active r, so params survive
+        # gradual-training r changes (≙ r_init sizing + runtime slice,
+        # layers/tacotron2.py linear_projection / set_r)
+        self.linear_projection = nn.Dense(
+            max(self.r_init, self.r) * self.n_mels, name="linear_projection")
         self.stopnet = StopNet(name="stopnet")
         self.query_dropout = nn.Dropout(0.1)
         self.decoder_dropout = nn.Dropout(0.1)
@@ -94,7 +98,7 @@ class DecoderCell(nn.Module):
         dec_out = self.decoder_dropout(dec_out, deterministic=False)
 
         proj_input = jnp.concatenate([dec_out, context], axis=-1)
-        frames = self.linear_projection(proj_input)  # (B, r * n_mels)
+        frames = self.linear_projection(proj_input)[:, : self.r * self.n_mels]
 
         stop_input = jnp.concatenate([dec_out, frames], axis=-1)
         if self.separate_stopnet:
@@ -116,6 +120,7 @@ class Tacotron2(nn.Module):
     num_speakers: int = 1
     n_mels: int = 80
     r: int = 7
+    r_init: int = 0
     encoder_dim: int = 512
     embedding_dim: int = 512
     speaker_embedding_dim: int = 64
@@ -156,12 +161,14 @@ class Tacotron2(nn.Module):
             use_transition_agent=self.use_transition_agent,
             forward_attn_mask=self.forward_attn_mask, attn_norm=self.attn_norm,
             windowing=self.windowing, separate_stopnet=self.separate_stopnet)
-        self.decoder = DecoderCell(r=self.r, name="decoder", **dec_kwargs)
+        self.decoder = DecoderCell(r=self.r, r_init=self.r_init,
+                                   name="decoder", **dec_kwargs)
         if self.double_decoder_consistency:
             self.coarse_decoder = DecoderCell(r=self.ddc_r, name="coarse_decoder",
                                               **dec_kwargs)
         if self.bidirectional_decoder:
-            self.backward_decoder = DecoderCell(r=self.r, name="backward_decoder",
+            self.backward_decoder = DecoderCell(r=self.r, r_init=self.r_init,
+                                                name="backward_decoder",
                                                 **dec_kwargs)
         self.postnet = Postnet(self.n_mels, name="postnet")
         if self.num_speakers > 1 and self.external_speaker_dim == 0:

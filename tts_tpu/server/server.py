@@ -1,0 +1,111 @@
+"""HTTP TTS server: demo page + GET /api/tts?text=... -> WAV bytes.
+
+Capability parity with /root/reference/TTS/server/server.py:31-86 (Flask ->
+stdlib ThreadingHTTPServer; same routes and query interface).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from tts_tpu.audio.processor import wav_to_bytes
+
+_DEMO_PAGE = """<!DOCTYPE html>
+<html>
+<head><title>tts_tpu demo</title></head>
+<body style="font-family: sans-serif; max-width: 640px; margin: 40px auto;">
+  <h1>tts_tpu</h1>
+  <p>Type a sentence and press Speak.</p>
+  <input id="text" size="60" value="Hello, world!"/>
+  <button onclick="speak()">Speak</button>
+  <p id="status"></p>
+  <audio id="audio" controls></audio>
+  <script>
+    function speak() {
+      const t = document.getElementById('text').value;
+      document.getElementById('status').textContent = 'synthesizing...';
+      const audio = document.getElementById('audio');
+      audio.src = '/api/tts?text=' + encodeURIComponent(t);
+      audio.onloadeddata = () => {
+        document.getElementById('status').textContent = '';
+        audio.play();
+      };
+    }
+  </script>
+</body>
+</html>"""
+
+
+def make_handler(synthesizer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            if url.path == "/":
+                body = _DEMO_PAGE.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif url.path == "/api/tts":
+                qs = parse_qs(url.query)
+                text = qs.get("text", [""])[0]
+                if not text:
+                    self.send_error(400, "missing text parameter")
+                    return
+                speaker = qs.get("speaker_id", [None])[0]
+                try:
+                    wav = synthesizer.tts(
+                        text, speaker_id=int(speaker) if speaker else None)
+                except Exception as e:  # surface synthesis errors as 500s
+                    self.send_error(500, str(e))
+                    return
+                body = wav_to_bytes(wav, synthesizer.ap.sample_rate)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif url.path == "/health":
+                body = json.dumps({"status": "ok"}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+    return Handler
+
+
+def create_server(synthesizer, port: int = 5002) -> ThreadingHTTPServer:
+    return ThreadingHTTPServer(("0.0.0.0", port), make_handler(synthesizer))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--tts_checkpoint", required=True)
+    parser.add_argument("--tts_config", required=True)
+    parser.add_argument("--vocoder_checkpoint", default=None)
+    parser.add_argument("--vocoder_config", default=None)
+    parser.add_argument("--port", type=int, default=5002)
+    args = parser.parse_args()
+
+    from tts_tpu.infer.synthesizer import Synthesizer
+
+    synth = Synthesizer(args.tts_checkpoint, args.tts_config,
+                        args.vocoder_checkpoint, args.vocoder_config)
+    server = create_server(synth, args.port)
+    print(f" > Serving on http://localhost:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
