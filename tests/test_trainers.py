@@ -1,0 +1,119 @@
+"""Trainer smoke tests for Glow-TTS, vocoder GAN, and speaker encoder
+(≙ reference train-script smoke tier, .travis/script:7-22)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.fixtures import SR, make_ljspeech_fixture
+from tts_tpu.config import AttrDict
+
+
+@pytest.fixture(scope="module")
+def lj_root(tmp_path_factory):
+    return make_ljspeech_fixture(str(tmp_path_factory.mktemp("lj")), n_items=6)
+
+
+AUDIO = {
+    "sample_rate": SR, "num_mels": 80, "fft_size": 1024, "hop_length": 256,
+    "win_length": 1024, "preemphasis": 0.0, "min_level_db": -100,
+    "ref_level_db": 20, "power": 1.5, "griffin_lim_iters": 10,
+    "signal_norm": True, "symmetric_norm": True, "max_norm": 4.0,
+    "clip_norm": True, "mel_fmin": 0.0, "mel_fmax": 8000.0,
+    "do_trim_silence": False,
+}
+
+
+class TestGlowTrainer:
+    def test_one_epoch(self, lj_root, tmp_path):
+        from tts_tpu.train.trainer_glow import GlowTTSTrainer
+
+        c = AttrDict({
+            "model": "glow_tts", "run_name": "glow_smoke", "audio": AUDIO,
+            "batch_size": 2, "epochs": 1, "lr": 1e-3,
+            "use_phonemes": False, "text_cleaner": "english_cleaners",
+            "save_step": 100,
+            "datasets": [{"name": "ljspeech", "path": lj_root,
+                          "meta_file_train": "metadata.csv"}],
+            "output_path": str(tmp_path),
+        })
+        trainer = GlowTTSTrainer(c, str(tmp_path))
+        # shrink the model for the smoke test
+        trainer.model = trainer.model.clone(
+            hidden_channels_enc=32, hidden_channels_dec=32,
+            filter_channels=64, filter_channels_dp=32, num_layers_enc=1,
+            num_flow_blocks_dec=2)
+        trainer.fit()
+        assert trainer.global_step >= 2
+        ckpt = trainer.save_checkpoint()
+        assert os.path.isfile(ckpt)
+        # resume restores step + params
+        trainer2 = GlowTTSTrainer(c, str(tmp_path))
+        trainer2.model = trainer.model
+        trainer2.restore(ckpt)
+        assert trainer2.global_step == trainer.global_step
+
+
+class TestVocoderTrainer:
+    def test_warmup_then_full(self, lj_root, tmp_path):
+        from tts_tpu.train.trainer_vocoder import VocoderTrainer
+
+        c = AttrDict({
+            "run_name": "voc_smoke", "audio": AUDIO,
+            "generator_model": "melgan_generator",
+            "generator_model_params": {"base_channels": 32,
+                                       "num_res_blocks": 1,
+                                       "upsample_factors": (8, 8, 2, 2)},
+            "discriminator_model": "melgan_multiscale_discriminator",
+            "discriminator_model_params": {"num_scales": 2},
+            "batch_size": 2, "seq_len": 4096, "epochs": 1,
+            "steps_to_start_discriminator": 1,
+            "use_feat_match_loss": True,
+            "eval_split_size": 1, "pad_short": 2000, "conv_pad": 0,
+            "data_path": os.path.join(lj_root, "wavs"),
+            "output_path": str(tmp_path),
+        })
+        trainer = VocoderTrainer(c, str(tmp_path))
+        stats = trainer.train_epoch()
+        assert trainer.global_step >= 2
+        assert np.isfinite(stats["avg_G_loss"])
+        # after warmup the D loss appears
+        assert "avg_D_loss" in stats
+        ckpt = trainer.save_checkpoint()
+        assert os.path.isfile(ckpt)
+        disc_ckpts = [f for f in os.listdir(tmp_path)
+                      if f.startswith("checkpoint_disc")]
+        assert disc_ckpts
+
+
+class TestEncoderTrainer:
+    def test_steps(self, lj_root, tmp_path, monkeypatch):
+        import tts_tpu.train.trainer_encoder as te
+
+        # fake 2 speakers over the single-speaker fixture
+        import tts_tpu.data.formatters as formatters
+        items = formatters.ljspeech(lj_root, "metadata.csv")
+        for i, it in enumerate(items):
+            it[2] = f"spk{i % 2}"
+        monkeypatch.setattr(te, "load_meta_data", lambda *a, **k: (items, []))
+
+        c = AttrDict({
+            "run_name": "enc_smoke",
+            "audio": dict(AUDIO, num_mels=40),
+            "num_speakers_in_batch": 2, "num_utters_per_speaker": 2,
+            "voice_len": 0.2, "loss": "ge2e", "lr": 1e-3,
+            "model": {"input_dim": 40, "proj_dim": 16, "lstm_dim": 32,
+                      "num_lstm_layers": 1},
+            "datasets": [{"name": "ljspeech", "path": lj_root,
+                          "meta_file_train": "metadata.csv"}],
+            "save_step": 100,
+            "output_path": str(tmp_path),
+        })
+        trainer = te.SpeakerEncoderTrainer(c, str(tmp_path))
+        stats = trainer.train(3)
+        assert trainer.global_step == 3
+        assert np.isfinite(stats["avg_loss"])
+        emb = trainer.compute_embeddings(
+            np.zeros((1, 30, 40), np.float32))
+        assert emb.shape == (1, 16)

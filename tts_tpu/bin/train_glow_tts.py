@@ -1,0 +1,43 @@
+"""Glow-TTS training CLI (≙ /root/reference/TTS/bin/train_glow_tts.py)."""
+
+from __future__ import annotations
+
+import argparse
+
+from tts_tpu.config import load_config
+from tts_tpu.parallel.mesh import initialize_multihost
+from tts_tpu.train.checkpoint import latest_checkpoint
+from tts_tpu.train.trainer_glow import GlowTTSTrainer
+from tts_tpu.utils.generic import create_experiment_folder
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_path", required=True)
+    parser.add_argument("--restore_path", default="")
+    parser.add_argument("--continue_path", default="")
+    parser.add_argument("--output_path", default="")
+    parser.add_argument("--coordinator_address", default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    initialize_multihost(args.coordinator_address, args.num_processes,
+                         args.process_id)
+    c = load_config(args.config_path)
+    if args.continue_path:
+        output_path = args.continue_path
+        restore = latest_checkpoint(output_path)
+    else:
+        root = args.output_path or c.get("output_path", "runs")
+        output_path = create_experiment_folder(root, c.get("run_name", "glow"))
+        restore = args.restore_path or None
+
+    trainer = GlowTTSTrainer(c, output_path)
+    if restore:
+        trainer.restore(restore)
+    trainer.fit()
+
+
+if __name__ == "__main__":
+    main()
