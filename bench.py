@@ -3,10 +3,11 @@
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
 The pipeline measured is the flagship serving path: batched Tacotron2
-autoregressive mel decode (scan) -> Multiband-MelGAN vocoder (+PQMF
-synthesis) -> waveform, all jitted on one chip. The reference publishes no
-numbers (BASELINE.md); its implicit production bar is real-time (RTF=1.0)
-single-stream synthesis, so vs_baseline = audio_seconds_per_second / 1.0.
+autoregressive mel decode (scan) -> Multiband-MelGAN vocoder (weight norm
+folded at load, +PQMF synthesis) -> waveform, jitted on one chip. The
+reference publishes no numbers (BASELINE.md); its implicit production bar is
+real-time (RTF=1.0) single-stream synthesis, so vs_baseline =
+audio_seconds_per_second / 1.0.
 """
 
 import json
@@ -19,52 +20,58 @@ SR = 22050
 HOP = 256
 
 
-def build_pipeline(batch=8, t_text=128, steps=124, r=2):
+def build_pipeline(batch=64, t_text=128, steps=124, r=2):
     from tts_tpu.models.tacotron2 import Tacotron2
+    from tts_tpu.models.vocoder.fold import fold_weight_norm
     from tts_tpu.models.vocoder.multiband_melgan import MultibandMelganGenerator
 
     rng = jax.random.PRNGKey(0)
     taco = Tacotron2(num_chars=128, r=r)
     text = jax.random.randint(rng, (batch, t_text), 0, 128)
     text_len = jnp.full((batch,), t_text, jnp.int32)
-    mel0 = jnp.zeros((batch, steps * r, 80))
-    mel_len = jnp.full((batch,), steps * r, jnp.int32)
-    taco_vars = taco.init({"params": rng, "dropout": rng}, text, text_len,
-                          mel0, mel_len)
+    mel0 = jnp.zeros((2, steps * r, 80))
+    mel_len = jnp.full((2,), steps * r, jnp.int32)
+    taco_vars = taco.init({"params": rng, "dropout": rng}, text[:2],
+                          text_len[:2], mel0, mel_len)
 
-    # Multiband-MelGAN with (2,8,2,2) upsampling: 64x per subband, 4 subbands
-    # -> hop 256 samples per frame after PQMF synthesis
+    # Multiband-MelGAN, weight norm folded into plain kernels (serving path)
     voc = MultibandMelganGenerator(upsample_factors=(2, 8, 2, 2))
-    mel_probe = jnp.zeros((batch, steps * r, 80))
-    voc_vars = voc.init(rng, mel_probe)
+    voc_vars = voc.init(rng, jnp.zeros((2, steps * r, 80)))
+    voc_params = fold_weight_norm(voc_vars["params"])
+    voc_plain = voc.clone(use_weight_norm=False)
 
     @jax.jit
-    def synthesize(taco_vars, voc_vars, text, text_len):
+    def synthesize(taco_vars, voc_params, text, text_len):
         out = taco.apply(taco_vars, text, text_len,
                          rngs={"dropout": jax.random.PRNGKey(1)},
                          method=taco.inference, max_decoder_steps=steps,
                          use_windowing=False)
         mel = out["postnet_outputs"]
-        sub = voc.apply(voc_vars, mel)
-        wav = voc.pqmf.synthesis(sub)
-        return wav
+        sub = voc_plain.apply({"params": voc_params}, mel)
+        wav = voc_plain.pqmf.synthesis(sub)
+        # scalar checksum: fetched once after the loop; forces full
+        # materialization while letting tunnel RTT amortize out
+        return wav.shape[1], wav.sum()
 
-    return synthesize, (taco_vars, voc_vars, text, text_len)
+    return synthesize, (taco_vars, voc_params, text, text_len)
 
 
 def main():
-    batch, steps, r = 8, 124, 2
+    batch, steps, r = 64, 124, 2
     fn, args = build_pipeline(batch=batch, steps=steps, r=r)
-    wav = fn(*args)
-    jax.block_until_ready(wav)  # compile
-    iters = 5
+    n_samples, s = fn(*args)
+    float(s)  # compile + sync
+    # NOTE: on this setup block_until_ready does not synchronize through the
+    # device tunnel; fetching a scalar is the only reliable fence. We enqueue
+    # `iters` executions and fence once at the end.
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        wav = fn(*args)
-    jax.block_until_ready(wav)
+        n_samples, s = fn(*args)
+    float(s)
     dt = (time.perf_counter() - t0) / iters
 
-    audio_seconds = batch * wav.shape[1] / SR
+    audio_seconds = batch * int(n_samples) / SR
     throughput = audio_seconds / dt
     print(json.dumps({
         "metric": "synthesized_audio_seconds_per_s_per_chip",

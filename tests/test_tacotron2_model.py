@@ -170,3 +170,29 @@ class TestInference:
         out = infer(state.params, state.batch_stats, batch["text"],
                     batch["text_lengths"])
         assert np.isfinite(np.asarray(out["postnet_outputs"])).all()
+
+
+class TestTruncatedInference:
+    def test_state_threading(self):
+        """Streaming decode: RNN state carries across chunks
+        (≙ inference_truncated, reference models/tacotron2.py:165-189)."""
+        model = _small_model()
+        rng = jax.random.PRNGKey(0)
+        batch = _dummy_batch(rng, r=2)
+        state = create_train_state(model, rng, batch, make_optimizer(lr=1e-3))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        out1 = model.apply(variables, batch["text"], batch["text_lengths"],
+                           rngs={"dropout": rng},
+                           method=model.inference_truncated,
+                           max_decoder_steps=4)
+        assert "decoder_state" in out1
+        out2 = model.apply(variables, batch["text"], batch["text_lengths"],
+                           decoder_state=out1["decoder_state"],
+                           rngs={"dropout": rng},
+                           method=model.inference_truncated,
+                           max_decoder_steps=4)
+        assert out2["postnet_outputs"].shape == out1["postnet_outputs"].shape
+        # carried state changes the decode (continuation, not a restart)
+        assert not np.allclose(np.asarray(out1["decoder_outputs"]),
+                               np.asarray(out2["decoder_outputs"]))

@@ -175,3 +175,35 @@ class TestRegistry:
     def test_unknown_raises(self):
         with pytest.raises(KeyError):
             setup_generator(self._cfg("wavenet", "x"))
+
+
+class TestWeightNormFolding:
+    def test_fold_parity_melgan(self):
+        """Folded (bare-conv) generator == weight-normed generator
+        (≙ remove_weight_norm parity)."""
+        from tts_tpu.models.vocoder.fold import fold_weight_norm
+
+        gen = MelganGenerator(base_channels=32, num_res_blocks=2,
+                              upsample_factors=(4, 4))
+        mel = jax.random.normal(RNG, (1, 8, 80))
+        v = gen.init(RNG, mel)
+        y_wn = gen.apply(v, mel)
+        folded = fold_weight_norm(v["params"])
+        y_folded = gen.clone(use_weight_norm=False).apply(
+            {"params": folded}, mel)
+        np.testing.assert_allclose(np.asarray(y_wn), np.asarray(y_folded),
+                                   atol=1e-5)
+
+    def test_fold_parity_multiband(self):
+        from tts_tpu.models.vocoder.fold import fold_weight_norm
+
+        gen = MultibandMelganGenerator(base_channels=32, num_res_blocks=1,
+                                       upsample_factors=(2, 4, 2))
+        mel = jax.random.normal(RNG, (1, 8, 80))
+        v = gen.init(RNG, mel)
+        y_wn = gen.apply(v, mel, method=gen.inference)
+        folded = fold_weight_norm(v["params"])
+        y_folded = gen.clone(use_weight_norm=False).apply(
+            {"params": folded}, mel, method=gen.inference)
+        np.testing.assert_allclose(np.asarray(y_wn), np.asarray(y_folded),
+                                   atol=1e-5)

@@ -57,7 +57,15 @@ class Synthesizer:
             self.vocoder_config = load_config(vocoder_config)
             self.vocoder_model = setup_generator(self.vocoder_config)
             vckpt = load_checkpoint(vocoder_checkpoint)
-            self.vocoder_variables = {"params": vckpt["params"]}
+            params = vckpt["params"]
+            # fold weight norm once at load (≙ remove_weight_norm,
+            # synthesizer.py:81-91) — serving runs bare convs
+            if getattr(self.vocoder_model, "use_weight_norm", False):
+                from tts_tpu.models.vocoder.fold import fold_weight_norm
+                params = fold_weight_norm(params)
+                self.vocoder_model = self.vocoder_model.clone(
+                    use_weight_norm=False)
+            self.vocoder_variables = {"params": params}
             self.vocoder_ap = AudioProcessor(**self.vocoder_config.audio)
 
     def _vocode(self, mel_norm: np.ndarray) -> np.ndarray:

@@ -354,3 +354,77 @@ class Tacotron2(nn.Module):
             "stop_logits": jnp.swapaxes(stop_logits, 0, 1),
             "mel_lengths": final["n_steps_done"] * self.r,
         }
+
+    def inference_truncated(self, text: Array,
+                            text_lengths: Optional[Array] = None,
+                            decoder_state: Optional[Dict[str, Any]] = None,
+                            speaker_ids: Optional[Array] = None,
+                            speaker_embeddings: Optional[Array] = None,
+                            style_mel: Optional[Array] = None,
+                            max_decoder_steps: Optional[int] = None
+                            ) -> Dict[str, Array]:
+        """Streaming decode: RNN states/context/last-frame persist across
+        calls while attention state re-inits for each text chunk
+        (≙ inference_truncated, models/tacotron2.py:165-189 +
+        layers/tacotron2.py:376-409 keep_states semantics).
+
+        Returns the usual outputs plus 'decoder_state' to thread into the
+        next call.
+        """
+        B = text.shape[0]
+        if text_lengths is None:
+            text_lengths = jnp.full((B,), text.shape[1], dtype=jnp.int32)
+        n_steps = max_decoder_steps or self.max_decoder_steps
+        enc, mask = self._encode(text, text_lengths, False, speaker_ids,
+                                 speaker_embeddings, style_mel)
+        carry = self._init_carry(self.decoder, enc, mask)
+        carry["last_frame"] = jnp.zeros((B, self.n_mels))
+        carry["done"] = jnp.zeros((B,), dtype=bool)
+        carry["n_steps_done"] = jnp.zeros((B,), dtype=jnp.int32)
+        if decoder_state is not None:
+            carry["attn_rnn"] = decoder_state["attn_rnn"]
+            carry["dec_rnn"] = decoder_state["dec_rnn"]
+            carry["last_frame"] = decoder_state["last_frame"]
+            # context dim matches only when speaker/GST conditioning is equal
+            carry["context"] = decoder_state["context"]
+
+        decoder = self.decoder
+
+        def step(mdl, carry, _):
+            inner = {k: v for k, v in carry.items()
+                     if k not in ("last_frame", "done", "n_steps_done")}
+            new_inner, (frames, stop_logit, align) = mdl(
+                inner, carry["last_frame"], False)
+            done_now = jax.nn.sigmoid(stop_logit) > self.stop_threshold
+            new_carry = dict(new_inner)
+            new_carry["done"] = carry["done"] | done_now
+            new_carry["n_steps_done"] = carry["n_steps_done"] + (
+                ~carry["done"]).astype(jnp.int32)
+            new_carry["last_frame"] = frames[:, -self.n_mels:]
+            return new_carry, (frames, stop_logit, align, ~carry["done"])
+
+        scan = nn.scan(step, variable_broadcast="params",
+                       split_rngs={"params": False, "dropout": True},
+                       in_axes=0, out_axes=0, length=n_steps)
+        final, (frames, stop_logits, alignments, active) = scan(
+            decoder, carry, None)
+        frames = jnp.swapaxes(frames, 0, 1).reshape(B, n_steps * self.r,
+                                                    self.n_mels)
+        active = jnp.swapaxes(active, 0, 1)
+        frame_mask = jnp.repeat(active, self.r, axis=1)[..., None]
+        frames = frames * frame_mask
+        postnet_outputs = (frames + self.postnet(frames, train=False)) \
+            * frame_mask
+        return {
+            "decoder_outputs": frames,
+            "postnet_outputs": postnet_outputs,
+            "alignments": jnp.swapaxes(alignments, 0, 1),
+            "stop_logits": jnp.swapaxes(stop_logits, 0, 1),
+            "mel_lengths": final["n_steps_done"] * self.r,
+            "decoder_state": {
+                "attn_rnn": final["attn_rnn"],
+                "dec_rnn": final["dec_rnn"],
+                "context": final["context"],
+                "last_frame": final["last_frame"],
+            },
+        }

@@ -24,7 +24,11 @@ def _reflect_pad_t(x: Array, pad: int) -> Array:
 
 
 class WNConv(nn.Module):
-    """Weight-normalized 1d conv with reflection padding (time axis)."""
+    """Weight-normalized 1d conv with reflection padding (time axis).
+
+    ``use_weight_norm=False`` builds the same conv without the WeightNorm
+    wrapper — for inference with folded kernels (≙ remove_weight_norm,
+    melgan_generator.py:90-97); see fold_weight_norm()."""
 
     features: int
     kernel_size: int
@@ -32,15 +36,18 @@ class WNConv(nn.Module):
     stride: int = 1
     pad_mode: str = "reflect"  # "reflect" | "zeros" | "valid"
     groups: int = 1
+    use_weight_norm: bool = True
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        conv = nn.WeightNorm(nn.Conv(
+        conv = nn.Conv(
             self.features, kernel_size=(self.kernel_size,),
             strides=(self.stride,),
             kernel_dilation=(self.dilation,),
             feature_group_count=self.groups,
-            padding="VALID", name="conv"))
+            padding="VALID", name="conv")
+        if self.use_weight_norm:
+            conv = nn.WeightNorm(conv)
         pad = (self.kernel_size - 1) * self.dilation
         if self.pad_mode == "valid":
             return conv(x)
@@ -62,6 +69,7 @@ class ResidualStack(nn.Module):
     channels: int
     num_res_blocks: int = 3
     kernel_size: int = 3
+    use_weight_norm: bool = True
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -69,12 +77,16 @@ class ResidualStack(nn.Module):
             dilation = self.kernel_size ** i
             y = nn.leaky_relu(x, 0.2)
             y = WNConv(self.channels, self.kernel_size, dilation=dilation,
+                       use_weight_norm=self.use_weight_norm,
                        name=f"block_{i}_conv1")(y)
             y = nn.leaky_relu(y, 0.2)
-            y = WNConv(self.channels, 1, name=f"block_{i}_conv2")(y)
-            shortcut = nn.WeightNorm(nn.Conv(self.channels, (1,), padding="VALID",
-                                             name=f"block_{i}_shortcut"))(x)
-            x = y + shortcut
+            y = WNConv(self.channels, 1, use_weight_norm=self.use_weight_norm,
+                       name=f"block_{i}_conv2")(y)
+            shortcut_conv = nn.Conv(self.channels, (1,), padding="VALID",
+                                    name=f"block_{i}_shortcut")
+            if self.use_weight_norm:
+                shortcut_conv = nn.WeightNorm(shortcut_conv)
+            x = y + shortcut_conv(x)
         return x
 
 
@@ -89,20 +101,28 @@ class MelganGenerator(nn.Module):
     upsample_factors: Sequence[int] = (8, 8, 2, 2)
     num_res_blocks: int = 3
     inference_padding: int = 2
+    use_weight_norm: bool = True
 
     @nn.compact
     def __call__(self, c: Array) -> Array:
-        x = WNConv(self.base_channels, self.proj_kernel, name="proj_in")(c)
+        x = WNConv(self.base_channels, self.proj_kernel,
+                   use_weight_norm=self.use_weight_norm, name="proj_in")(c)
         ch = self.base_channels
         for i, factor in enumerate(self.upsample_factors):
             ch //= 2
             x = nn.leaky_relu(x, 0.2)
-            x = nn.WeightNorm(nn.ConvTranspose(
+            up = nn.ConvTranspose(
                 ch, kernel_size=(2 * factor,), strides=(factor,),
-                padding="SAME", name=f"upsample_{i}"))(x)
-            x = ResidualStack(ch, self.num_res_blocks, name=f"resstack_{i}")(x)
+                padding="SAME", name=f"upsample_{i}")
+            if self.use_weight_norm:
+                up = nn.WeightNorm(up)
+            x = up(x)
+            x = ResidualStack(ch, self.num_res_blocks,
+                              use_weight_norm=self.use_weight_norm,
+                              name=f"resstack_{i}")(x)
         x = nn.leaky_relu(x, 0.2)
-        x = WNConv(self.out_channels, self.proj_kernel, name="proj_out")(x)
+        x = WNConv(self.out_channels, self.proj_kernel,
+                   use_weight_norm=self.use_weight_norm, name="proj_out")(x)
         return jnp.tanh(x)
 
     def inference(self, c: Array) -> Array:

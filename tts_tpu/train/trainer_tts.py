@@ -61,17 +61,33 @@ class TTSTrainer:
         self.meta_train, self.meta_eval = load_meta_data(config["datasets"])
         self.num_speakers = 1
         self.speaker_mapping = None
+        self.speaker_embedding_mapping = None
+        self.speaker_embedding_dim = 0
         if config.get("use_speaker_embedding", False):
-            speakers = get_speakers(self.meta_train)
-            self.speaker_mapping = {s: i for i, s in enumerate(speakers)}
-            self.num_speakers = len(speakers)
+            if config.get("use_external_speaker_embedding_file", False):
+                # per-utterance d-vectors from speakers.json
+                # (≙ train_tts.py:504-540 external embedding path)
+                from tts_tpu.utils.speakers import load_speaker_mapping
+                mapping = load_speaker_mapping(
+                    config["external_speaker_embedding_file"])
+                self.speaker_embedding_mapping = {
+                    k: v["embedding"] for k, v in mapping.items()}
+                speakers = sorted({v["name"] for v in mapping.values()})
+                self.num_speakers = len(speakers)
+                self.speaker_embedding_dim = len(
+                    next(iter(self.speaker_embedding_mapping.values())))
+            else:
+                speakers = get_speakers(self.meta_train)
+                self.speaker_mapping = {s: i for i, s in enumerate(speakers)}
+                self.num_speakers = len(speakers)
 
         # model + optimizer; r_init = max r in the gradual schedule
         gradual = config.get("gradual_training") or []
         r_init = max([config.get("r", 7)] + [e[1] for e in gradual])
         self.r_init = r_init
         self.r = config.get("r", 7)
-        self.model = setup_model(self.num_chars, self.num_speakers, config)
+        self.model = setup_model(self.num_chars, self.num_speakers, config,
+                                 speaker_embedding_dim=self.speaker_embedding_dim)
         if hasattr(self.model, "r_init"):
             self.model = self.model.clone(r_init=r_init)
         self.tx = make_optimizer(
@@ -119,6 +135,7 @@ class TTSTrainer:
             phoneme_language=c.get("phoneme_language", "en-us"),
             enable_eos_bos=c.get("enable_eos_bos_chars", False),
             speaker_id_mapping=self.speaker_mapping,
+            speaker_embedding_mapping=self.speaker_embedding_mapping,
             batch_group_size=0 if is_eval else c.get("batch_group_size", 0),
             tp=self.tp)
 
@@ -240,6 +257,39 @@ class TTSTrainer:
         self.tb.tb_eval_stats(self.global_step, keep.avg_values)
         return keep.avg_values
 
+    DEFAULT_TEST_SENTENCES = [
+        "It took me quite a long time to develop a voice, and now that I "
+        "have it I'm not going to be silent.",
+        "Be a voice, not an echo.",
+    ]
+
+    def test_run(self) -> Dict[str, np.ndarray]:
+        """Synthesize test sentences with Griffin-Lim and log audio + figures
+        (≙ evaluate()'s test-sentence block, train_tts.py:445-476)."""
+        from tts_tpu.infer.synthesis import synthesis
+        from tts_tpu.utils.visual import plot_alignment, plot_spectrogram
+
+        sentences = self.c.get("test_sentences") or self.DEFAULT_TEST_SENTENCES
+        model = self.model.clone(r=self.r)
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        audios, figures = {}, {}
+        for i, sentence in enumerate(sentences):
+            try:
+                result = synthesis(model, variables, sentence, self.c, self.ap,
+                                   tp=self.tp)
+                audios[f"test_{i}"] = result["wav"]
+                figures[f"test_{i}_spectrogram"] = plot_spectrogram(
+                    result["postnet_outputs"])
+                figures[f"test_{i}_alignment"] = plot_alignment(
+                    result["alignments"])
+            except Exception as e:  # a bad sentence must not kill training
+                print(f" [!] test sentence failed: {e}")
+        self.tb.tb_eval_audios(self.global_step, audios,
+                               self.ap.sample_rate)
+        self.tb.tb_eval_figures(self.global_step, figures)
+        return audios
+
     def fit(self) -> None:
         c = self.c
         for self.epoch in range(self.epoch, c["epochs"]):
@@ -255,6 +305,9 @@ class TTSTrainer:
                     opt_state=self.state.opt_state,
                     batch_stats=self.state.batch_stats,
                     step=self.global_step, epoch=self.epoch, r=self.r)
+            if self.epoch >= c.get("test_delay_epochs", 0) and \
+                    c.get("run_test_sentences", False):
+                self.test_run()
 
     def save_checkpoint(self) -> str:
         return ckpt_io.save_checkpoint(
