@@ -94,3 +94,35 @@ class TestDPTrainStep:
         # params are replicated: every shard sees the same values
         leaf = jax.tree_util.tree_leaves(state.params)[0]
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+class TestDPGanStep:
+    def test_gan_dp_step(self, mesh):
+        """GAN G+D gradients pmean-reduced over the mesh (capability the
+        reference's single-GPU vocoder training lacked)."""
+        from tts_tpu.models.vocoder.melgan import (
+            MelganGenerator, MelganMultiscaleDiscriminator)
+        from tts_tpu.parallel.data_parallel import shard_batch
+        from tts_tpu.train.gan import create_gan_states, make_gan_train_step
+        from tts_tpu.train.optim import make_optimizer
+
+        rng = jax.random.PRNGKey(0)
+        gen = MelganGenerator(base_channels=16, num_res_blocks=1,
+                              upsample_factors=(4, 4))
+        disc = MelganMultiscaleDiscriminator(num_scales=2)
+        batch = {
+            "audio": jax.random.normal(rng, (8, 8 * 16, 1)) * 0.1,
+            "mel": jax.random.normal(rng, (8, 8, 80)),
+        }
+        sg, sd = create_gan_states(gen, disc, batch, rng,
+                                   make_optimizer(lr=1e-3),
+                                   make_optimizer(lr=1e-3))
+        sg = replicate(sg, mesh)
+        sd = replicate(sd, mesh)
+        step = make_gan_train_step(gen, disc, hop_len=16, conv_pad=0,
+                                   train_disc=True, mesh=mesh)
+        sbatch = shard_batch(batch, mesh)
+        sg2, sd2, losses = step(sg, sd, sbatch, sbatch, rng)
+        assert np.isfinite(float(losses["G_loss"]))
+        assert np.isfinite(float(losses["D_loss"]))
+        assert int(sg2.step) == 1 and int(sd2.step) == 1

@@ -1,0 +1,78 @@
+"""Export CLI: checkpoint -> SavedModel / TFLite
+(≙ /root/reference/TTS/bin/convert_melgan_tflite.py, convert_tacotron2_tflite.py
+and the torch->TF converters — one tool because jax2tf stages the same jitted
+function instead of a second implementation)."""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_path", required=True)
+    parser.add_argument("--checkpoint_path", required=True)
+    parser.add_argument("--output_path", required=True)
+    parser.add_argument("--format", choices=["tflite", "saved_model"],
+                        default="tflite")
+    parser.add_argument("--kind", choices=["vocoder", "tts"], default="vocoder")
+    parser.add_argument("--frames", type=int, default=256,
+                        help="fixed mel-frame count for the export signature")
+    parser.add_argument("--batch", type=int, default=1)
+    args = parser.parse_args(argv)
+
+    from tts_tpu.config import load_config
+    from tts_tpu.export import export_saved_model, export_tflite, max_abs_diff
+    from tts_tpu.train.checkpoint import load_checkpoint
+
+    c = load_config(args.config_path)
+    ckpt = load_checkpoint(args.checkpoint_path)
+
+    if args.kind == "vocoder":
+        from tts_tpu.models.vocoder.fold import fold_weight_norm
+        from tts_tpu.models.vocoder.registry import setup_generator
+
+        gen = setup_generator(c)
+        params = ckpt["params"]
+        if getattr(gen, "use_weight_norm", False):
+            params = fold_weight_norm(params)
+            gen = gen.clone(use_weight_norm=False)
+        n_mels = c["audio"].get("num_mels", 80)
+        example = jnp.zeros((args.batch, args.frames, n_mels), jnp.float32)
+
+        def fn(mel):
+            out = gen.apply({"params": params}, mel)
+            if hasattr(gen, "pqmf"):
+                out = gen.pqmf.synthesis(out)
+            return out
+    else:
+        from tts_tpu.models.registry import setup_model
+        from tts_tpu.text import num_symbols
+
+        model = setup_model(num_symbols(c.get("use_phonemes", False)),
+                            c.get("num_speakers", 1), c)
+        variables = {"params": ckpt["params"]}
+        if ckpt.get("batch_stats"):
+            variables["batch_stats"] = ckpt["batch_stats"]
+        example = jnp.zeros((args.batch, args.frames), jnp.int32)
+
+        def fn(text):
+            return model.apply(
+                variables, text, rngs={"dropout": jax.random.PRNGKey(0)},
+                method=model.inference,
+                max_decoder_steps=c.get("max_decoder_steps", 500),
+            )["postnet_outputs"]
+
+    if args.format == "tflite":
+        export_tflite(fn, [example], args.output_path)
+    else:
+        export_saved_model(fn, [example], args.output_path)
+    print(f" > exported {args.kind} ({args.format}) to {args.output_path}")
+
+
+if __name__ == "__main__":
+    main()

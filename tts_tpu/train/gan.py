@@ -75,9 +75,16 @@ def make_gan_train_step(
     gen_loss_kwargs: Optional[Dict] = None,
     disc_loss_kwargs: Optional[Dict] = None,
     jit: bool = True,
+    mesh=None,
+    axis: str = "data",
 ) -> Callable:
     """Returns step(state_G, state_D, batch_G, batch_D, rng) ->
-    (state_G, state_D, losses). Build twice (train_disc=False for warmup)."""
+    (state_G, state_D, losses). Build twice (train_disc=False for warmup).
+
+    With ``mesh``, the step runs SPMD over the mesh's data axis: per-shard
+    G and D grads are pmean-reduced over ICI before the optimizer updates —
+    the GAN data parallelism the reference never had (its vocoder training is
+    single-GPU; SURVEY.md §3.3 'TPU build must add DP for GAN training')."""
     gkw = dict(gen_loss_kwargs or {})
     dkw = dict(disc_loss_kwargs or {})
     if use_pqmf:
@@ -93,8 +100,10 @@ def make_gan_train_step(
 
     def step(state_G: GState, state_D: GState, batch_G: Dict, batch_D: Dict,
              rng) -> Tuple[GState, GState, Dict]:
-        rng_g, rng_d1, rng_d2 = jax.random.split(jax.random.fold_in(
-            rng, state_G.step), 3)
+        base = jax.random.fold_in(rng, state_G.step)
+        if mesh is not None:
+            base = jax.random.fold_in(base, jax.lax.axis_index(axis))
+        rng_g, rng_d1, rng_d2 = jax.random.split(base, 3)
 
         # ---- generator update ----
         def g_loss_fn(g_params):
@@ -120,6 +129,9 @@ def make_gan_train_step(
             return losses["G_loss"], losses
 
         g_grads, g_losses = jax.grad(g_loss_fn, has_aux=True)(state_G.params)
+        if mesh is not None:
+            g_grads = jax.lax.pmean(g_grads, axis)
+            g_losses = jax.lax.pmean(g_losses, axis)
         new_G = state_G.apply_gradients(grads=g_grads)
 
         losses = dict(g_losses)
@@ -140,6 +152,9 @@ def make_gan_train_step(
                 return dl["D_loss"], dl
 
             d_grads, d_losses = jax.grad(d_loss_fn, has_aux=True)(state_D.params)
+            if mesh is not None:
+                d_grads = jax.lax.pmean(d_grads, axis)
+                d_losses = jax.lax.pmean(d_losses, axis)
             new_D = state_D.apply_gradients(grads=d_grads)
             losses.update(d_losses)
         else:
@@ -147,6 +162,20 @@ def make_gan_train_step(
 
         return new_G, new_D, losses
 
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+
+        rep, sh = P(), P(axis)
+        smapped = shard_map(
+            step, mesh=mesh,
+            in_specs=(rep, rep, sh, sh, rep),
+            out_specs=(rep, rep, rep),
+            check_vma=False)
+        return jax.jit(smapped, donate_argnums=(0, 1)) if jit else smapped
     return jax.jit(step, donate_argnums=(0, 1)) if jit else step
 
 

@@ -34,12 +34,19 @@ from tts_tpu.utils.loggers import ConsoleLogger, TensorboardLogger
 
 class TTSTrainer:
     def __init__(self, config: Dict[str, Any], output_path: str,
-                 use_half_batch_for_debug: bool = False):
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with a 'data' axis — the train
+        step then runs SPMD with pmean gradient reduction (set
+        ``config['use_data_parallel']`` to build one over all devices)."""
         check_config_tts(config)
         self.c = config
         self.output_path = output_path
         os.makedirs(output_path, exist_ok=True)
         self.ap = AudioProcessor(**config["audio"])
+        self.mesh = mesh
+        if mesh is None and config.get("use_data_parallel", False):
+            from tts_tpu.parallel import make_mesh
+            self.mesh = make_mesh((("data", -1),))
 
         # text frontend (custom charset support ≙ train_tts.py:486-487)
         self.tp = None
@@ -146,12 +153,20 @@ class TTSTrainer:
             init_rng, self.rng = jax.random.split(self.rng)
             self.state = create_train_state(
                 self.model, init_rng, _to_jnp(batch), self.tx)
+            if self.mesh is not None:
+                from tts_tpu.parallel import replicate
+                self.state = replicate(self.state, self.mesh)
 
     def _train_step_for_r(self, r: int):
         if r not in self._steps:
             model = self.model.clone(r=r) if r != self.model.r else self.model
-            self._steps[r] = make_train_step(
-                model, {**self.loss_kwargs, "r": r}, jit=True)
+            if self.mesh is not None:
+                from tts_tpu.parallel import make_dp_train_step
+                self._steps[r] = make_dp_train_step(
+                    model, self.mesh, {**self.loss_kwargs, "r": r})
+            else:
+                self._steps[r] = make_train_step(
+                    model, {**self.loss_kwargs, "r": r}, jit=True)
         return self._steps[r]
 
     def _eval_step(self):
@@ -219,6 +234,9 @@ class TTSTrainer:
             jb = _to_jnp(batch)
             self._ensure_state(jb)
             self._apply_restore()
+            if self.mesh is not None:
+                from tts_tpu.parallel.data_parallel import shard_batch
+                jb = shard_batch(jb, self.mesh)
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, losses = step_fn(self.state, jb, step_rng)
             losses = {k: float(v) for k, v in losses.items()}

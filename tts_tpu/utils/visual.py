@@ -45,3 +45,41 @@ def plot_spectrogram(spectrogram, ap=None, fig_size=(16, 10), output_fig=False):
     plt.colorbar()
     plt.tight_layout()
     return fig
+
+
+def plot_results(y_hat, y, ap=None, name_prefix=""):
+    """Fake/real spectrograms + waveform comparison figures for GAN training
+    (≙ plot_results, /root/reference/TTS/vocoder/utils/generic_utils.py:9-37).
+    Returns {name: figure}."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    y_hat = np.asarray(y_hat).reshape(-1)
+    y = np.asarray(y).reshape(-1)
+
+    if ap is not None:
+        spec_fake = ap.melspectrogram(y_hat)
+        spec_real = ap.melspectrogram(y)
+        spec_diff = np.abs(spec_fake - spec_real)
+    else:
+        spec_fake = spec_real = spec_diff = None
+
+    figures = {}
+    fig_wave = plt.figure(figsize=(12, 4))
+    plt.plot(y, alpha=0.6, label="real")
+    plt.plot(y_hat, alpha=0.6, label="generated")
+    plt.legend()
+    plt.tight_layout()
+    figures[name_prefix + "waveform"] = fig_wave
+
+    if spec_fake is not None:
+        for key, spec in (("spectrogram/fake", spec_fake),
+                          ("spectrogram/real", spec_real),
+                          ("spectrogram/diff", spec_diff)):
+            fig = plt.figure(figsize=(10, 4))
+            plt.imshow(spec.T, aspect="auto", origin="lower")
+            plt.colorbar()
+            plt.tight_layout()
+            figures[name_prefix + key] = fig
+    return figures
