@@ -196,3 +196,27 @@ class TestTruncatedInference:
         # carried state changes the decode (continuation, not a restart)
         assert not np.allclose(np.asarray(out1["decoder_outputs"]),
                                np.asarray(out2["decoder_outputs"]))
+
+
+class TestMixedPrecision:
+    def test_bf16_forward_trains(self):
+        """bf16 compute with f32 master params: finite loss, params update
+        (≙ apex AMP capability, reference train_tts.py:553-559)."""
+        model = _small_model()
+        rng = jax.random.PRNGKey(0)
+        batch = _dummy_batch(rng, r=2)
+        state = create_train_state(model, rng, batch,
+                                   make_optimizer(lr=1e-2, grad_clip=5.0))
+        step = make_train_step(model, jit=True, mixed_precision=True)
+        before = jax.tree_util.tree_map(np.asarray, state.params)
+        for i in range(2):
+            state, losses = step(state, batch, jax.random.fold_in(rng, i))
+        assert np.isfinite(float(losses["loss"]))
+        # master params stay f32
+        for leaf in jax.tree_util.tree_leaves(state.params):
+            assert leaf.dtype == jnp.float32
+        flat_a = dict(jax.tree_util.tree_leaves_with_path(state.params))
+        changed = sum(
+            not np.array_equal(a, np.asarray(flat_a[p]))
+            for p, a in jax.tree_util.tree_leaves_with_path(before))
+        assert changed > 0

@@ -52,6 +52,7 @@ def make_dp_train_step(
     mesh: Mesh,
     loss_kwargs: Optional[Dict] = None,
     axis: str = "data",
+    mixed_precision: bool = False,
 ) -> Callable:
     """Jitted SPMD train step: per-device forward/backward on its batch shard,
     pmean(grads) over ICI, replicated optimizer update.
@@ -68,12 +69,20 @@ def make_dp_train_step(
         drop_rng = jax.random.fold_in(drop_rng, jax.lax.axis_index(axis))
 
         def loss_fn(params):
+            p, b = params, batch
+            if mixed_precision:
+                from tts_tpu.train.state import _cast_floats
+                p = _cast_floats(params, jnp.bfloat16)
+                b = dict(batch, mel=batch["mel"].astype(jnp.bfloat16))
             out, mutated = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["text"], batch["text_lengths"],
-                batch["mel"], batch["mel_lengths"],
+                {"params": p, "batch_stats": state.batch_stats},
+                b["text"], b["text_lengths"],
+                b["mel"], b["mel_lengths"],
                 train=True, rngs={"dropout": drop_rng},
-                mutable=["batch_stats"], **_model_kwargs(batch))
+                mutable=["batch_stats"], **_model_kwargs(b))
+            if mixed_precision:
+                from tts_tpu.train.state import _cast_floats
+                out = _cast_floats(out, jnp.float32)
             losses = tacotron_loss(out, batch, **loss_kwargs)
             return losses["loss"], (losses, mutated)
 

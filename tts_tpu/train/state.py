@@ -25,6 +25,15 @@ class TrainState(train_state.TrainState):
     batch_stats: Any = None
 
 
+def _cast_floats(tree, dtype):
+    """Cast float leaves to the compute dtype (params stay f32 masters)."""
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree_util.tree_map(cast, tree)
+
+
 def create_train_state(model, rng, batch: Dict, tx) -> TrainState:
     """Initialize params/batch_stats from an example batch."""
     init_rng, drop_rng = jax.random.split(rng)
@@ -50,8 +59,14 @@ def _model_kwargs(batch: Dict) -> Dict:
 
 
 def make_train_step(model, loss_kwargs: Optional[Dict] = None,
-                    jit: bool = True) -> Callable:
-    """Returns step(state, batch, rng) -> (new_state, losses_dict)."""
+                    jit: bool = True, mixed_precision: bool = False) -> Callable:
+    """Returns step(state, batch, rng) -> (new_state, losses_dict).
+
+    mixed_precision: run the forward in bfloat16 (params cast at the step
+    boundary — f32 masters stay in the optimizer; losses and grads are f32).
+    TPU-native equivalent of the reference's apex AMP O1 (train_tts.py:553-559);
+    no loss scaling needed — bf16 keeps f32's exponent range.
+    """
     loss_kwargs = dict(loss_kwargs or {})
     loss_kwargs.setdefault("r", model.r)
 
@@ -59,12 +74,20 @@ def make_train_step(model, loss_kwargs: Optional[Dict] = None,
         drop_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
+            p = params
+            b = batch
+            if mixed_precision:
+                p = _cast_floats(params, jnp.bfloat16)
+                b = dict(batch,
+                         mel=batch["mel"].astype(jnp.bfloat16))
             out, mutated = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["text"], batch["text_lengths"],
-                batch["mel"], batch["mel_lengths"],
+                {"params": p, "batch_stats": state.batch_stats},
+                b["text"], b["text_lengths"],
+                b["mel"], b["mel_lengths"],
                 train=True, rngs={"dropout": drop_rng},
-                mutable=["batch_stats"], **_model_kwargs(batch))
+                mutable=["batch_stats"], **_model_kwargs(b))
+            if mixed_precision:
+                out = _cast_floats(out, jnp.float32)
             losses = tacotron_loss(out, batch, **loss_kwargs)
             return losses["loss"], (losses, mutated)
 

@@ -160,13 +160,16 @@ class TTSTrainer:
     def _train_step_for_r(self, r: int):
         if r not in self._steps:
             model = self.model.clone(r=r) if r != self.model.r else self.model
+            amp = self.c.get("mixed_precision", False)
             if self.mesh is not None:
                 from tts_tpu.parallel import make_dp_train_step
                 self._steps[r] = make_dp_train_step(
-                    model, self.mesh, {**self.loss_kwargs, "r": r})
+                    model, self.mesh, {**self.loss_kwargs, "r": r},
+                    mixed_precision=amp)
             else:
                 self._steps[r] = make_train_step(
-                    model, {**self.loss_kwargs, "r": r}, jit=True)
+                    model, {**self.loss_kwargs, "r": r}, jit=True,
+                    mixed_precision=amp)
         return self._steps[r]
 
     def _eval_step(self):
