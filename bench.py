@@ -20,7 +20,7 @@ SR = 22050
 HOP = 256
 
 
-def build_pipeline(batch=64, t_text=128, steps=124, r=2):
+def build_pipeline(batch=128, t_text=128, steps=124, r=2):
     from tts_tpu.models.tacotron2 import Tacotron2
     from tts_tpu.models.vocoder.fold import fold_weight_norm
     from tts_tpu.models.vocoder.multiband_melgan import MultibandMelganGenerator
@@ -33,6 +33,10 @@ def build_pipeline(batch=64, t_text=128, steps=124, r=2):
     mel_len = jnp.full((2,), steps * r, jnp.int32)
     taco_vars = taco.init({"params": rng, "dropout": rng}, text[:2],
                           text_len[:2], mel0, mel_len)
+    # serve the mel decoder in bf16 (standard TPU serving precision)
+    taco_vars = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        taco_vars)
 
     # Multiband-MelGAN, weight norm folded into plain kernels (serving path)
     voc = MultibandMelganGenerator(upsample_factors=(2, 8, 2, 2))
@@ -46,7 +50,7 @@ def build_pipeline(batch=64, t_text=128, steps=124, r=2):
                          rngs={"dropout": jax.random.PRNGKey(1)},
                          method=taco.inference, max_decoder_steps=steps,
                          use_windowing=False)
-        mel = out["postnet_outputs"]
+        mel = out["postnet_outputs"].astype(jnp.float32)
         sub = voc_plain.apply({"params": voc_params}, mel)
         wav = voc_plain.pqmf.synthesis(sub)
         # scalar checksum: fetched once after the loop; forces full
@@ -57,7 +61,7 @@ def build_pipeline(batch=64, t_text=128, steps=124, r=2):
 
 
 def main():
-    batch, steps, r = 64, 124, 2
+    batch, steps, r = 128, 124, 2
     fn, args = build_pipeline(batch=batch, steps=steps, r=r)
     n_samples, s = fn(*args)
     float(s)  # compile + sync
