@@ -20,7 +20,7 @@ SR = 22050
 HOP = 256
 
 
-def build_pipeline(batch=128, t_text=128, steps=124, r=2):
+def build_pipeline(batch=64, t_text=128, steps=124, r=2):
     from tts_tpu.models.tacotron2 import Tacotron2
     from tts_tpu.models.vocoder.fold import fold_weight_norm
     from tts_tpu.models.vocoder.multiband_melgan import MultibandMelganGenerator
@@ -61,7 +61,10 @@ def build_pipeline(batch=128, t_text=128, steps=124, r=2):
 
 
 def main():
-    batch, steps, r = 128, 124, 2
+    # batch 64 balances throughput with XLA compile time (the bench must
+    # finish within the driver's budget; batch 128 compiles ~2x longer for
+    # ~+30% throughput)
+    batch, steps, r = 64, 124, 2
     fn, args = build_pipeline(batch=batch, steps=steps, r=r)
     n_samples, s = fn(*args)
     float(s)  # compile + sync

@@ -1,0 +1,156 @@
+"""Port reference (Mozilla TTS, PyTorch) Tacotron2 weights into this framework.
+
+The migration path for users of the reference: load a ``.pth.tar`` state
+dict, map it onto our flax param/batch-stats trees, and synthesize with
+numerically matching outputs (the BASELINE.json mel-parity metric). The
+mapping handles the layout differences:
+
+- torch Conv1d (out, in, k) -> flax NWC conv (k, in, out);
+- conv biases are absorbed into BatchNorm running means (our ConvBN blocks
+  are bias-free because BN cancels the bias);
+- torch LSTM packed (i,f,g,o) gate blocks -> flax OptimizedLSTMCell per-gate
+  Dense kernels, with b_ih + b_hh summed into the h-side gate biases;
+- the attention 'v' bias is dropped (softmax energies are shift-invariant).
+
+Works on a plain ``{name: np.ndarray}`` dict — no torch import needed here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def _t(w: np.ndarray) -> np.ndarray:
+    """torch Linear (out, in) -> flax Dense kernel (in, out)."""
+    return np.ascontiguousarray(w.T)
+
+
+def _conv(w: np.ndarray) -> np.ndarray:
+    """torch Conv1d (out, in, k) -> flax (k, in, out)."""
+    return np.ascontiguousarray(np.transpose(w, (2, 1, 0)))
+
+
+def _lstm_gates(w_ih, w_hh, b_ih, b_hh) -> Dict[str, Any]:
+    """torch packed (i,f,g,o) LSTM mats -> flax OptimizedLSTMCell params."""
+    H = w_ih.shape[0] // 4
+    out: Dict[str, Any] = {}
+    for idx, gate in enumerate("ifgo"):
+        sl = slice(idx * H, (idx + 1) * H)
+        out[f"i{gate}"] = {"kernel": _t(w_ih[sl])}
+        out[f"h{gate}"] = {"kernel": _t(w_hh[sl]),
+                           "bias": (b_ih[sl] + b_hh[sl]).copy()}
+    return out
+
+
+def _convbn(sd: Dict[str, np.ndarray], prefix: str) -> Tuple[Dict, Dict]:
+    """Reference ConvBNBlock -> (params, batch_stats); conv bias folded into
+    the BN running mean."""
+    conv_w = sd[f"{prefix}.convolution1d.weight"]
+    conv_b = sd.get(f"{prefix}.convolution1d.bias")
+    params = {
+        "conv": {"kernel": _conv(conv_w)},
+        "bn": {"scale": sd[f"{prefix}.batch_normalization.weight"].copy(),
+               "bias": sd[f"{prefix}.batch_normalization.bias"].copy()},
+    }
+    mean = sd[f"{prefix}.batch_normalization.running_mean"].copy()
+    if conv_b is not None:
+        mean = mean - conv_b
+    stats = {"bn": {"mean": mean,
+                    "var": sd[f"{prefix}.batch_normalization.running_var"].copy()}}
+    return params, stats
+
+
+def port_tacotron2(state_dict: Dict[str, np.ndarray]
+                   ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference Tacotron2 state dict -> (params, batch_stats) for our model.
+
+    Covers the single-speaker, location-attention configuration (embedding,
+    encoder, decoder, postnet). Speaker/GST/DDC branches port analogously.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
+
+    params["embedding"] = {"embedding": sd["embedding.weight"].copy()}
+
+    # ---- encoder: 3 ConvBN + BiLSTM
+    enc_p: Dict[str, Any] = {}
+    enc_s: Dict[str, Any] = {}
+    for i in range(3):
+        p, s = _convbn(sd, f"encoder.convolutions.{i}")
+        enc_p[f"conv_{i}"] = p
+        enc_s[f"conv_{i}"] = s
+    enc_p["OptimizedLSTMCell_0"] = _lstm_gates(
+        sd["encoder.lstm.weight_ih_l0"], sd["encoder.lstm.weight_hh_l0"],
+        sd["encoder.lstm.bias_ih_l0"], sd["encoder.lstm.bias_hh_l0"])
+    enc_p["OptimizedLSTMCell_1"] = _lstm_gates(
+        sd["encoder.lstm.weight_ih_l0_reverse"],
+        sd["encoder.lstm.weight_hh_l0_reverse"],
+        sd["encoder.lstm.bias_ih_l0_reverse"],
+        sd["encoder.lstm.bias_hh_l0_reverse"])
+    params["encoder"] = enc_p
+    batch_stats["encoder"] = enc_s
+
+    # ---- decoder cell
+    dec: Dict[str, Any] = {}
+    dec["prenet"] = {
+        f"linear_{i}": {"kernel": _t(
+            sd[f"decoder.prenet.linear_layers.{i}.linear_layer.weight"])}
+        for i in range(2)
+    }
+    dec["attention_rnn"] = _lstm_gates(
+        sd["decoder.attention_rnn.weight_ih"],
+        sd["decoder.attention_rnn.weight_hh"],
+        sd["decoder.attention_rnn.bias_ih"],
+        sd["decoder.attention_rnn.bias_hh"])
+    dec["decoder_rnn"] = _lstm_gates(
+        sd["decoder.decoder_rnn.weight_ih"],
+        sd["decoder.decoder_rnn.weight_hh"],
+        sd["decoder.decoder_rnn.bias_ih"],
+        sd["decoder.decoder_rnn.bias_hh"])
+    attn = {
+        "query_layer": {"kernel": _t(
+            sd["decoder.attention.query_layer.linear_layer.weight"])},
+        "inputs_layer": {"kernel": _t(
+            sd["decoder.attention.inputs_layer.linear_layer.weight"])},
+        # v bias dropped: shift-invariant under softmax normalization
+        "v": {"kernel": _t(sd["decoder.attention.v.linear_layer.weight"])},
+        "location_conv": {"kernel": _conv(
+            sd["decoder.attention.location_layer.location_conv1d.weight"])},
+        "location_dense": {"kernel": _t(
+            sd["decoder.attention.location_layer.location_dense."
+               "linear_layer.weight"])},
+    }
+    dec["attention"] = attn
+    dec["linear_projection"] = {
+        "kernel": _t(sd["decoder.linear_projection.linear_layer.weight"]),
+        "bias": sd["decoder.linear_projection.linear_layer.bias"].copy(),
+    }
+    dec["stopnet"] = {"linear": {
+        "kernel": _t(sd["decoder.stopnet.1.linear_layer.weight"]),
+        "bias": sd["decoder.stopnet.1.linear_layer.bias"].copy(),
+    }}
+    params["decoder"] = dec
+
+    # ---- postnet: 5 ConvBN
+    post_p: Dict[str, Any] = {}
+    post_s: Dict[str, Any] = {}
+    for i in range(5):
+        p, s = _convbn(sd, f"postnet.convolutions.{i}")
+        post_p[f"conv_{i}"] = p
+        post_s[f"conv_{i}"] = s
+    params["postnet"] = post_p
+    batch_stats["postnet"] = post_s
+
+    return params, batch_stats
+
+
+def load_reference_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a reference .pth.tar checkpoint's model state dict as numpy."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["model"] if "model" in ckpt else ckpt
+    return {k: v.detach().numpy() for k, v in sd.items()}

@@ -27,18 +27,21 @@ class Prenet(nn.Module):
     prenet_type: str = "original"  # or "bn"
     dropout: bool = True
     dropout_rate: float = 0.5
+    use_bias: bool = True  # tacotron2 decoder prenet uses bias=False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, deterministic: bool = False) -> Array:
         for i, dim in enumerate(self.out_features):
-            x = nn.Dense(dim, use_bias=self.prenet_type == "original",
-                         name=f"linear_{i}")(x)
+            x = nn.Dense(dim, use_bias=self.use_bias, name=f"linear_{i}")(x)
             if self.prenet_type == "bn":
-                x = nn.BatchNorm(use_running_average=False, momentum=0.9,
-                                 name=f"bn_{i}")(x)
+                x = nn.BatchNorm(use_running_average=deterministic,
+                                 momentum=0.9, name=f"bn_{i}")(x)
             x = nn.relu(x)
             if self.dropout and self.prenet_type == "original":
-                x = nn.Dropout(self.dropout_rate, deterministic=False)(x)
+                # dropout gated by train mode, matching the reference's
+                # F.dropout(training=self.training) (common_layers.py:75-82)
+                x = nn.Dropout(self.dropout_rate,
+                               deterministic=deterministic)(x)
         return x
 
 

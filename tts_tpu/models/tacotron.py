@@ -173,8 +173,8 @@ class TacotronDecoderCell(nn.Module):
         self.stopnet = StopNet(name="stopnet")
 
     def __call__(self, carry: Dict[str, Any], memory_input: Array,
-                 use_windowing: bool = False):
-        prenet_out = self.prenet(memory_input)
+                 use_windowing: bool = False, deterministic: bool = False):
+        prenet_out = self.prenet(memory_input, deterministic=deterministic)
         attn_rnn_state, query = self.attention_rnn(
             carry["attn_rnn"], jnp.concatenate(
                 [prenet_out, carry["context"]], axis=-1))
@@ -193,7 +193,7 @@ class TacotronDecoderCell(nn.Module):
         stop_in = jnp.concatenate([h, frames], axis=-1)
         if self.separate_stopnet:
             stop_in = jax.lax.stop_gradient(stop_in)
-        stop_logit = self.stopnet(stop_in)
+        stop_logit = self.stopnet(stop_in, train=not deterministic)
 
         new_carry = dict(carry)
         new_carry.update(attn_rnn=attn_rnn_state, dec_rnns=tuple(rnn_states),
@@ -313,7 +313,7 @@ class Tacotron(nn.Module):
         enc, mask = self._encode(text, text_lengths, train, speaker_ids,
                                  mel if self.use_gst else None)
         memory = self._memory_inputs(mel)
-        scan = nn.scan(lambda mdl, c, x: mdl(c, x),
+        scan = nn.scan(lambda mdl, c, x: mdl(c, x, False, not train),
                        variable_broadcast="params",
                        split_rngs={"params": False, "dropout": True},
                        in_axes=0, out_axes=0)
@@ -351,7 +351,7 @@ class Tacotron(nn.Module):
             inner = {k: v for k, v in carry.items()
                      if k not in ("memory", "done", "n_steps_done")}
             new_inner, (frames, stop_logit, align) = mdl(
-                inner, carry["memory"], use_windowing)
+                inner, carry["memory"], use_windowing, True)
             done_now = jax.nn.sigmoid(stop_logit) > self.stop_threshold
             new_carry = dict(new_inner)
             new_carry["done"] = carry["done"] | done_now

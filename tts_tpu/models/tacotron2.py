@@ -55,8 +55,9 @@ class DecoderCell(nn.Module):
     separate_stopnet: bool = True
 
     def setup(self):
+        # bias-free prenet (≙ Prenet(..., bias=False), layers/tacotron2.py:170-175)
         self.prenet = Prenet((256, 256), self.prenet_type, self.prenet_dropout,
-                             name="prenet")
+                             use_bias=False, name="prenet")
         self.attention_rnn = nn.OptimizedLSTMCell(self.query_dim,
                                                   name="attention_rnn")
         self.attention = init_attn(
@@ -78,16 +79,21 @@ class DecoderCell(nn.Module):
         self.decoder_dropout = nn.Dropout(0.1)
 
     def __call__(self, carry: Dict[str, Any], memory_input: Array,
-                 use_windowing: bool = False
+                 use_windowing: bool = False, deterministic: bool = False
                  ) -> Tuple[Dict[str, Any], Tuple[Array, Array, Array]]:
         inputs = carry["inputs"]
         processed_inputs = carry["processed_inputs"]
         mask = carry["mask"]
 
-        prenet_out = self.prenet(memory_input)
+        prenet_out = self.prenet(memory_input, deterministic=deterministic)
         cell_input = jnp.concatenate([prenet_out, carry["context"]], axis=-1)
         attn_rnn_state, query = self.attention_rnn(carry["attn_rnn"], cell_input)
-        query = self.query_dropout(query, deterministic=False)
+        query = self.query_dropout(query, deterministic=deterministic)
+        # the reference also drops out the attention-rnn cell state
+        # (layers/tacotron2.py:274-277)
+        attn_rnn_state = (self.query_dropout(attn_rnn_state[0],
+                                             deterministic=deterministic),
+                          query)
 
         context, attn_state = self.attention(
             query, inputs, processed_inputs, carry["attn_state"], mask,
@@ -95,17 +101,23 @@ class DecoderCell(nn.Module):
 
         dec_input = jnp.concatenate([query, context], axis=-1)
         dec_rnn_state, dec_out = self.decoder_rnn(carry["dec_rnn"], dec_input)
-        dec_out = self.decoder_dropout(dec_out, deterministic=False)
+        dec_out = self.decoder_dropout(dec_out, deterministic=deterministic)
+        # carry the dropped-out hidden (≙ self.decoder_hidden reuse,
+        # layers/tacotron2.py:283-286)
+        dec_rnn_state = (dec_rnn_state[0], dec_out)
 
         proj_input = jnp.concatenate([dec_out, context], axis=-1)
-        frames = self.linear_projection(proj_input)[:, : self.r * self.n_mels]
+        frames_full = self.linear_projection(proj_input)  # r_init * n_mels
 
-        stop_input = jnp.concatenate([dec_out, frames], axis=-1)
+        # stopnet sees the FULL r_init-sized projection (layers/tacotron2.py:
+        # 293-300 slices to r only after the stopnet input is formed)
+        stop_input = jnp.concatenate([dec_out, frames_full], axis=-1)
         if self.separate_stopnet:
             # stopnet trains on its own loss; block gradients into the decoder
             # (≙ separate_stopnet, models/tacotron2.py stop_token detach)
             stop_input = jax.lax.stop_gradient(stop_input)
-        stop_logit = self.stopnet(stop_input)
+        stop_logit = self.stopnet(stop_input, train=not deterministic)
+        frames = frames_full[:, : self.r * self.n_mels]
 
         new_carry = dict(carry)
         new_carry.update(attn_rnn=attn_rnn_state, dec_rnn=dec_rnn_state,
@@ -234,7 +246,8 @@ class Tacotron2(nn.Module):
         }
 
     def _run_decoder(self, decoder: DecoderCell, enc: Array, mask: Array,
-                     mel: Array, r: int) -> Tuple[Array, Array, Array]:
+                     mel: Array, r: int, train: bool = True
+                     ) -> Tuple[Array, Array, Array]:
         """Teacher-forced scan. mel: (B, T_mel, n_mels), T_mel % r == 0."""
         B, T_mel, _ = mel.shape
         n_steps = T_mel // r
@@ -245,7 +258,7 @@ class Tacotron2(nn.Module):
         memory = jnp.swapaxes(memory, 0, 1)  # (steps, B, n_mels)
 
         scan = nn.scan(
-            lambda mdl, c, x: mdl(c, x),
+            lambda mdl, c, x: mdl(c, x, False, not train),
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
             in_axes=0, out_axes=0)
@@ -268,7 +281,7 @@ class Tacotron2(nn.Module):
         enc, mask = self._encode(text, text_lengths, train, speaker_ids,
                                  speaker_embeddings, style_mel)
         decoder_outputs, stop_logits, alignments = self._run_decoder(
-            self.decoder, enc, mask, mel, self.r)
+            self.decoder, enc, mask, mel, self.r, train=train)
         postnet_outputs = decoder_outputs + self.postnet(decoder_outputs,
                                                          train=train)
         out = {
@@ -284,7 +297,7 @@ class Tacotron2(nn.Module):
             pad = (self.ddc_r - T_mel % self.ddc_r) % self.ddc_r
             mel_c = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)))
             frames_c, _, align_c = self._run_decoder(
-                self.coarse_decoder, enc, mask, mel_c, self.ddc_r)
+                self.coarse_decoder, enc, mask, mel_c, self.ddc_r, train=train)
             out["coarse_decoder_outputs"] = frames_c[:, :T_mel]
             out["coarse_alignments"] = align_c
         if self.bidirectional_decoder:
@@ -292,7 +305,7 @@ class Tacotron2(nn.Module):
             # (≙ _backward_pass, tacotron_abstract.py:141-147)
             mel_rev = jnp.flip(mel, axis=1)
             frames_b, _, align_b = self._run_decoder(
-                self.backward_decoder, enc, mask, mel_rev, self.r)
+                self.backward_decoder, enc, mask, mel_rev, self.r, train=train)
             out["backward_decoder_outputs"] = jnp.flip(frames_b, axis=1)
             out["backward_alignments"] = align_b
         return out
@@ -324,7 +337,7 @@ class Tacotron2(nn.Module):
             inner = {k: v for k, v in carry.items()
                      if k not in ("last_frame", "done", "n_steps_done")}
             new_inner, (frames, stop_logit, align) = mdl(
-                inner, carry["last_frame"], use_windowing)
+                inner, carry["last_frame"], use_windowing, True)
             done_now = jax.nn.sigmoid(stop_logit) > self.stop_threshold
             new_carry = dict(new_inner)
             new_carry["done"] = carry["done"] | done_now
@@ -394,7 +407,7 @@ class Tacotron2(nn.Module):
             inner = {k: v for k, v in carry.items()
                      if k not in ("last_frame", "done", "n_steps_done")}
             new_inner, (frames, stop_logit, align) = mdl(
-                inner, carry["last_frame"], False)
+                inner, carry["last_frame"], False, True)
             done_now = jax.nn.sigmoid(stop_logit) > self.stop_threshold
             new_carry = dict(new_inner)
             new_carry["done"] = carry["done"] | done_now

@@ -37,8 +37,8 @@ class LocationSensitiveAttention(nn.Module):
     forward_attn_mask: bool = False
     norm: str = "softmax"  # or "sigmoid"
     windowing: bool = False
-    win_back: int = 5
-    win_front: int = 10
+    win_back: int = 2
+    win_front: int = 6
 
     def setup(self):
         self.query_layer = nn.Dense(self.attn_dim, use_bias=False, name="query_layer")
@@ -116,10 +116,13 @@ class LocationSensitiveAttention(nn.Module):
             alignment = sig / (sig.sum(axis=-1, keepdims=True) + 1e-8)
 
         new_state = dict(state)
+        # location stats accumulate the PRE-forward-attention alignment
+        # (≙ update_location_attention before apply_forward_attention,
+        # common_layers.py:356-361)
+        new_state["attention_cum"] = state["attention_cum"] + alignment
         if self.use_forward_attn:
             alignment, new_state = self._forward_attention(alignment, new_state)
         new_state["attention_weights"] = alignment
-        new_state["attention_cum"] = state["attention_cum"] + alignment
 
         context = jnp.einsum("bt,btd->bd", alignment, inputs)
         if self.use_transition_agent:
