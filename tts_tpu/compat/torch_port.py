@@ -154,3 +154,61 @@ def load_reference_checkpoint(path: str) -> Dict[str, np.ndarray]:
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt["model"] if "model" in ckpt else ckpt
     return {k: v.detach().numpy() for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
+# MelGAN-family vocoder port
+# ---------------------------------------------------------------------------
+
+def _fold_wn(v: np.ndarray, g: np.ndarray) -> np.ndarray:
+    """torch weight_norm (dim=0): W = v * g / ||v|| with norms over all dims
+    but the first."""
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt((v**2).sum(axis=axes, keepdims=True))
+    return v * (g / np.maximum(norm, 1e-12))
+
+
+def port_melgan(state_dict: Dict[str, np.ndarray],
+                upsample_factors=(8, 8, 2, 2),
+                num_res_blocks: int = 3) -> Dict[str, Any]:
+    """Reference MelGAN-family generator state dict -> params for our
+    ``use_weight_norm=False`` generator twin (weight norm folded, transposed
+    convs time-flipped to lax.conv_transpose semantics).
+
+    Reference sequential layout (melgan_generator.py:24-70): pad, conv_in,
+    then per stage [LeakyReLU, ConvTranspose, ResidualStack], then
+    LeakyReLU, pad, conv_out, tanh.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def conv(prefix: str) -> Dict[str, np.ndarray]:
+        w = _fold_wn(sd[f"{prefix}.weight_v"], sd[f"{prefix}.weight_g"])
+        return {"kernel": _conv(w), "bias": sd[f"{prefix}.bias"].copy()}
+
+    def conv_t(prefix: str) -> Dict[str, np.ndarray]:
+        w = _fold_wn(sd[f"{prefix}.weight_v"], sd[f"{prefix}.weight_g"])
+        # torch ConvTranspose (in, out, k): flip time, then (k, in, out)
+        w = np.ascontiguousarray(np.transpose(w[:, :, ::-1], (2, 0, 1)))
+        return {"kernel": w, "bias": sd[f"{prefix}.bias"].copy()}
+
+    layer_ids = sorted({int(k.split(".")[1]) for k in sd if k.startswith("layers.")})
+    first, last = layer_ids[0], layer_ids[-1]
+
+    params: Dict[str, Any] = {
+        "proj_in": {"conv": conv(f"layers.{first}")},
+        "proj_out": {"conv": conv(f"layers.{last}")},
+    }
+    for i in range(len(upsample_factors)):
+        up_idx = first + 2 + 3 * i
+        rs_idx = up_idx + 1
+        params[f"upsample_{i}"] = conv_t(f"layers.{up_idx}")
+        stack: Dict[str, Any] = {}
+        for j in range(num_res_blocks):
+            stack[f"block_{j}_conv1"] = {"conv": conv(
+                f"layers.{rs_idx}.blocks.{j}.2")}
+            stack[f"block_{j}_conv2"] = {"conv": conv(
+                f"layers.{rs_idx}.blocks.{j}.4")}
+            stack[f"block_{j}_shortcut"] = conv(
+                f"layers.{rs_idx}.shortcuts.{j}")
+        params[f"resstack_{i}"] = stack
+    return params
