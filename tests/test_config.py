@@ -84,3 +84,27 @@ def test_check_config_tts_rejects_bad_audio():
     c.audio.num_mels = 1
     with pytest.raises(AssertionError):
         check_config_tts(c)
+
+
+def test_shipped_configs_validate():
+    """configs/ examples must load, validate, and build their models."""
+    import os
+    from tts_tpu.config import (check_config_speaker_encoder,
+                                check_config_tts, check_config_vocoder)
+    from tts_tpu.models.registry import setup_model
+    from tts_tpu.models.vocoder.registry import (setup_discriminator,
+                                                 setup_generator)
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    c1 = load_config(os.path.join(root, "tacotron2_ljspeech.json"))
+    check_config_tts(c1)
+    assert setup_model(130, 1, c1) is not None
+    c2 = load_config(os.path.join(root, "glow_tts_ljspeech.json"))
+    check_config_tts(c2)
+    assert setup_model(130, 1, c2) is not None
+    c3 = load_config(os.path.join(root, "multiband_melgan.json"))
+    check_config_vocoder(c3)
+    assert setup_generator(c3) is not None
+    assert setup_discriminator(c3) is not None
+    c4 = load_config(os.path.join(root, "speaker_encoder.json"))
+    check_config_speaker_encoder(c4)
