@@ -26,19 +26,20 @@ def main(argv=None):
     parser.add_argument("args", nargs=argparse.REMAINDER,
                         help="arguments forwarded to the training script")
     args = parser.parse_args(argv)
+    fwd_args = args.args[1:] if args.args[:1] == ["--"] else args.args
 
     coordinator = f"localhost:{args.port}"
     procs = []
     for rank in range(args.num_processes):
         cmd = [
             sys.executable, "-m", f"tts_tpu.bin.{args.script}",
-            *args.args,
+            *fwd_args,
             "--coordinator_address", coordinator,
             "--num_processes", str(args.num_processes),
             "--process_id", str(rank),
         ]
         env = dict(os.environ)
-        env.setdefault("JAX_PLATFORMS", "cpu")
+        env["TTS_TPU_FORCE_CPU"] = "1"  # the TPU plugin ignores JAX_PLATFORMS
         stdout = None if rank == 0 else subprocess.DEVNULL  # rank-0 keeps stdout
         procs.append(subprocess.Popen(cmd, env=env, stdout=stdout))
         time.sleep(0.1)

@@ -20,7 +20,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None) -> None:
-    """Form the multi-host runtime (≙ init_distributed; no-op single-host)."""
+    """Form the multi-host runtime (≙ init_distributed; no-op single-host).
+
+    TTS_TPU_FORCE_CPU=1 pins the CPU backend before initialization — needed
+    for local multi-process testing because the installed TPU plugin
+    overrides the JAX_PLATFORMS env var (see CLAUDE.md).
+    """
+    import os
+    if os.environ.get("TTS_TPU_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
     if coordinator_address is not None:
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
 

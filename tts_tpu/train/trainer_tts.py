@@ -230,9 +230,13 @@ class TTSTrainer:
         keep = KeepAverage()
         timer = StepTimer()
         self.console.print_train_start()
-        n_batches = max(len(ds) // batch_size, 1)
+        # host-local input sharding (≙ per-rank DistributedSampler slices)
+        n_proc = jax.process_count()
+        n_batches = max(len(ds) // (batch_size * n_proc), 1)
         for i, batch in enumerate(ds.batches(batch_size, shuffle=True,
-                                             seed=self.epoch)):
+                                             seed=self.epoch,
+                                             num_shards=n_proc,
+                                             shard_id=jax.process_index())):
             loader_time = timer.lap()
             jb = _to_jnp(batch)
             self._ensure_state(jb)
