@@ -16,6 +16,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: the heavy XLA compiles (minutes for the
+# vocoder graph) are reused across bench invocations on this machine
+jax.config.update("jax_compilation_cache_dir", "/tmp/tts_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 SR = 22050
 HOP = 256
 

@@ -198,3 +198,38 @@ class TestGlowTTSModel:
         out = model.apply(v, b["text"], b["text_lengths"], b["mel"],
                           b["mel_lengths"], rngs={"dropout": RNG})
         assert np.isfinite(float(glow_tts_loss(out, b["text_lengths"])["loss"]))
+
+
+class TestTransformerMasking:
+    def test_attn_mask_broadcast_batch_neq_heads(self):
+        """Regression: attention mask must be (B,1,T,T); a broadcast bug made
+        it (B,B,1,T), which only 'worked' when B == num_heads."""
+        from tts_tpu.models.glow.transformer import RelPosTransformer
+
+        B, T, C = 5, 12, 32  # B != num_heads
+        x = jax.random.normal(RNG, (B, T, C))
+        x_mask = jnp.ones((B, T, 1)).at[:, 8:].set(0.0)
+        tr = RelPosTransformer(hidden_channels=C, filter_channels=64,
+                               num_heads=2, num_layers=1)
+        v = tr.init({"params": RNG, "dropout": RNG}, x, x_mask, train=False)
+        out = tr.apply(v, x, x_mask, train=False)
+        assert out.shape == (B, T, C)
+        assert np.isfinite(np.asarray(out)).all()
+        # masked positions produce zeros (mask multiplied at output)
+        assert np.allclose(np.asarray(out)[:, 8:], 0.0)
+
+    def test_masked_positions_dont_influence(self):
+        from tts_tpu.models.glow.transformer import RelPosTransformer
+
+        B, T, C = 3, 10, 16
+        x = jax.random.normal(RNG, (B, T, C))
+        x_mask = jnp.ones((B, T, 1)).at[:, 6:].set(0.0)
+        tr = RelPosTransformer(hidden_channels=C, filter_channels=32,
+                               num_heads=4, num_layers=1, kernel_size=1)
+        v = tr.init({"params": RNG, "dropout": RNG}, x, x_mask, train=False)
+        out1 = tr.apply(v, x, x_mask, train=False)
+        # change padded content -> valid outputs must not change
+        x2 = x.at[:, 6:].set(99.0)
+        out2 = tr.apply(v, x2, x_mask, train=False)
+        np.testing.assert_allclose(np.asarray(out1)[:, :6],
+                                   np.asarray(out2)[:, :6], atol=1e-5)

@@ -114,7 +114,8 @@ class RelPosTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, x_mask: Array, train: bool = True) -> Array:
-        attn_mask = (x_mask[:, None, :, 0] * x_mask[:, None, None, :, 0]) > 0
+        m = x_mask[..., 0]  # (B, T)
+        attn_mask = (m[:, None, :, None] * m[:, None, None, :]) > 0  # (B,1,T,T)
         for i in range(self.num_layers):
             y = RelativePositionMultiHeadAttention(
                 self.hidden_channels, self.num_heads,
