@@ -212,3 +212,136 @@ def port_melgan(state_dict: Dict[str, np.ndarray],
                 f"layers.{rs_idx}.shortcuts.{j}")
         params[f"resstack_{i}"] = stack
     return params
+
+
+# ---------------------------------------------------------------------------
+# Glow-TTS port
+# ---------------------------------------------------------------------------
+
+def _dense_from_conv1x1(w: np.ndarray) -> np.ndarray:
+    """torch Conv1d k=1 (out, in, 1) -> flax Dense kernel (in, out)."""
+    return np.ascontiguousarray(w[:, :, 0].T)
+
+
+def _ln(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    """Reference glow LayerNorm (gamma/beta, shape (1,C,1)) -> flax LayerNorm."""
+    return {"scale": sd[f"{prefix}.gamma"].reshape(-1).copy(),
+            "bias": sd[f"{prefix}.beta"].reshape(-1).copy()}
+
+
+def _conv_params(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    out = {"kernel": _conv(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"].copy()
+    return out
+
+
+def _set_weight_normed_conv(node: Dict[str, Any], conv_name: str,
+                            sd: Dict[str, np.ndarray], prefix: str,
+                            transposer=_conv) -> None:
+    """Fill a flax nn.WeightNorm(nn.Conv(name=conv_name)) pair from torch
+    weight_norm params: kernel <- weight_v, scale <- weight_g.
+
+    flax WeightNorm (feature_axes=-1) norms the kernel over all but the last
+    axis — identical to torch weight_norm dim=0 after the (k,in,out) layout
+    transpose — so (v, g) transfer verbatim."""
+    node[conv_name] = {"kernel": transposer(sd[f"{prefix}.weight_v"]),
+                       "bias": sd[f"{prefix}.bias"].copy()}
+    target_key = f"{conv_name}/kernel/scale"
+    for key, child in node.items():
+        if key.startswith("WeightNorm_") and isinstance(child, dict) \
+                and target_key in child:
+            child[target_key] = sd[f"{prefix}.weight_g"].reshape(-1).copy()
+            return
+    raise KeyError(f"no WeightNorm scale slot for {conv_name} in "
+                   f"{[k for k in node if k.startswith('WeightNorm_')]}")
+
+
+def port_glow_tts(state_dict: Dict[str, np.ndarray],
+                  template: Dict[str, Any],
+                  num_layers_enc: int = 6,
+                  num_flow_blocks: int = 12,
+                  num_coupling_layers: int = 4,
+                  use_prenet: bool = True,
+                  mean_only: bool = True) -> Dict[str, Any]:
+    """Reference GlowTts (transformer encoder) state dict -> our params tree.
+
+    ``template`` is the params dict from ``GlowTTS(...).init(...)`` (unfrozen)
+    — needed because flax WeightNorm scale slots are path-keyed; everything
+    else is overwritten in place. Covers the reference's standard config
+    (TTS/tts/utils/generic_utils.py:105-133 hard-coded glow hparams).
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def copy_tree(node):
+        if isinstance(node, dict):
+            return {k: copy_tree(v) for k, v in node.items()}
+        return np.array(node)
+
+    params = copy_tree(template)
+
+    # ---------------- encoder ----------------
+    enc = params["encoder"]
+    enc["emb"]["embedding"] = sd["encoder.emb.weight"].copy()
+
+    if use_prenet:
+        pre = enc["prenet"]
+        for i in range(3):
+            pre[f"conv_{i}"] = _conv_params(sd, f"encoder.pre.conv_layers.{i}")
+            pre[f"ln_{i}"] = _ln(sd, f"encoder.pre.norm_layers.{i}")
+        pre["proj"] = _conv_params(sd, "encoder.pre.proj")
+
+    tr = enc["encoder"]
+    for i in range(num_layers_enc):
+        a = f"encoder.encoder.attn_layers.{i}"
+        attn = tr[f"attn_{i}"]
+        for ours, theirs in (("q", "conv_q"), ("k", "conv_k"),
+                             ("v", "conv_v"), ("out", "conv_o")):
+            attn[ours] = {
+                "kernel": _dense_from_conv1x1(sd[f"{a}.{theirs}.weight"]),
+                "bias": sd[f"{a}.{theirs}.bias"].copy()}
+        # note: the reference GlowTts never forwards rel_attn_window_size to
+        # its Encoder (models/glow_tts.py:72-84), so standard checkpoints have
+        # no emb_rel_* — port them only when present
+        if f"{a}.emb_rel_k" in sd:
+            attn["emb_rel_k"] = sd[f"{a}.emb_rel_k"][0].copy()
+            attn["emb_rel_v"] = sd[f"{a}.emb_rel_v"][0].copy()
+        tr[f"ln1_{i}"] = _ln(sd, f"encoder.encoder.norm_layers_1.{i}")
+        f = f"encoder.encoder.ffn_layers.{i}"
+        tr[f"ffn_{i}"] = {"conv1": _conv_params(sd, f"{f}.conv_1"),
+                          "conv2": _conv_params(sd, f"{f}.conv_2")}
+        tr[f"ln2_{i}"] = _ln(sd, f"encoder.encoder.norm_layers_2.{i}")
+
+    enc["proj_mean"] = _conv_params(sd, "encoder.proj_m")
+    if not mean_only:
+        enc["proj_scale"] = _conv_params(sd, "encoder.proj_s")
+
+    dp = enc["duration_predictor"]
+    dpp = "encoder.duration_predictor"
+    dp["conv1"] = _conv_params(sd, f"{dpp}.conv_1")
+    dp["ln1"] = _ln(sd, f"{dpp}.norm_1")
+    dp["conv2"] = _conv_params(sd, f"{dpp}.conv_2")
+    dp["ln2"] = _ln(sd, f"{dpp}.norm_2")
+    dp["proj"] = _conv_params(sd, f"{dpp}.proj")
+
+    # ---------------- flow decoder ----------------
+    dec = params["decoder"]
+    for i in range(num_flow_blocks):
+        base = 3 * i
+        dec[f"actnorm_{i}"] = {
+            "logs": sd[f"decoder.flows.{base}.logs"].reshape(-1).copy(),
+            "bias": sd[f"decoder.flows.{base}.bias"].reshape(-1).copy()}
+        dec[f"invconv_{i}"] = {
+            "weight": sd[f"decoder.flows.{base + 1}.weight"].copy()}
+        cp = f"decoder.flows.{base + 2}"
+        coupling = dec[f"coupling_{i}"]
+        _set_weight_normed_conv(coupling, "start", sd, f"{cp}.start")
+        coupling["end"] = _conv_params(sd, f"{cp}.end")
+        wn = coupling["wn"]
+        for j in range(num_coupling_layers):
+            _set_weight_normed_conv(wn, f"in_{j}", sd, f"{cp}.wn.in_layers.{j}")
+            _set_weight_normed_conv(wn, f"res_skip_{j}", sd,
+                                    f"{cp}.wn.res_skip_layers.{j}")
+        if f"{cp}.wn.cond_layer.weight_v" in sd:
+            _set_weight_normed_conv(wn, "cond_layer", sd, f"{cp}.wn.cond_layer")
+    return params

@@ -33,12 +33,12 @@ class DurationPredictor(nn.Module):
         y = nn.Conv(self.hidden_channels, (self.kernel_size,), padding="SAME",
                     name="conv1")(x * x_mask)
         y = nn.relu(y)
-        y = nn.LayerNorm(name="ln1")(y)
+        y = nn.LayerNorm(epsilon=1e-4, scale_init=nn.initializers.constant(0.1), name="ln1")(y)
         y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         y = nn.Conv(self.hidden_channels, (self.kernel_size,), padding="SAME",
                     name="conv2")(y * x_mask)
         y = nn.relu(y)
-        y = nn.LayerNorm(name="ln2")(y)
+        y = nn.LayerNorm(epsilon=1e-4, scale_init=nn.initializers.constant(0.1), name="ln2")(y)
         y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         y = nn.Conv(1, (1,), name="proj")(y * x_mask)
         return y * x_mask  # (B, T, 1) log durations
@@ -58,7 +58,7 @@ class GatedConvBlock(nn.Module):
         for i in range(self.num_layers):
             y = nn.Conv(2 * self.hidden_channels, (self.kernel_size,),
                         padding="SAME", name=f"conv_{i}")(x * x_mask)
-            y = nn.LayerNorm(name=f"ln_{i}")(y)
+            y = nn.LayerNorm(epsilon=1e-4, scale_init=nn.initializers.constant(0.1), name=f"ln_{i}")(y)
             y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
             a, b = jnp.split(y, 2, axis=-1)
             x = res = res + a * jax.nn.sigmoid(b)
@@ -79,10 +79,10 @@ class TimeDepthSeparableConvBlock(nn.Module):
             y = nn.Conv(self.hidden_channels, (self.kernel_size,),
                         feature_group_count=self.hidden_channels,
                         padding="SAME", name=f"depth_{i}")(x * x_mask)
-            y = nn.LayerNorm(name=f"ln_a_{i}")(y)
+            y = nn.LayerNorm(epsilon=1e-4, scale_init=nn.initializers.constant(0.1), name=f"ln_a_{i}")(y)
             x = x + y
             y = nn.Conv(2 * self.hidden_channels, (1,), name=f"point_{i}")(x)
-            y = nn.LayerNorm(name=f"ln_b_{i}")(y)
+            y = nn.LayerNorm(epsilon=1e-4, scale_init=nn.initializers.constant(0.1), name=f"ln_b_{i}")(y)
             a, b = jnp.split(y, 2, axis=-1)
             x = x + a * jax.nn.sigmoid(b)
         return x * x_mask

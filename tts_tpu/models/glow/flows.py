@@ -36,7 +36,7 @@ class LayerNormChannels(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        return nn.LayerNorm(name="ln")(x)
+        return nn.LayerNorm(epsilon=1e-4, scale_init=nn.initializers.constant(0.1), name="ln")(x)
 
 
 class ConvLayerNorm(nn.Module):
@@ -56,7 +56,7 @@ class ConvLayerNorm(nn.Module):
         for i in range(self.num_layers):
             y = nn.Conv(self.hidden_channels, (self.kernel_size,),
                         padding="SAME", name=f"conv_{i}")(y * x_mask)
-            y = nn.LayerNorm(name=f"ln_{i}")(y)
+            y = nn.LayerNorm(epsilon=1e-4, scale_init=nn.initializers.constant(0.1), name=f"ln_{i}")(y)
             y = nn.relu(y)
             y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         # zero-init residual projection

@@ -45,12 +45,17 @@ class RelativePositionMultiHeadAttention(nn.Module):
             emb_k = self.param("emb_rel_k",
                                nn.initializers.normal(k_ch**-0.5),
                                (2 * W + 1, k_ch))
-            # relative logits: q . emb_k[rel], rel clipped to window
-            rel = jnp.clip(
-                jnp.arange(T)[None, :] - jnp.arange(T)[:, None], -W, W) + W
+            # relative logits: q . emb_k[rel]. The reference ZERO-PADS the
+            # relative embeddings outside the window (transformer.py
+            # _get_relative_embeddings pads with zeros), so positions with
+            # |j - i| > W contribute 0 — not the clipped edge embedding.
+            rel_raw = jnp.arange(T)[None, :] - jnp.arange(T)[:, None]
+            in_window = (jnp.abs(rel_raw) <= W)  # (T, T)
+            rel = jnp.clip(rel_raw, -W, W) + W
             rel_logits = jnp.einsum("bthd,rd->bhtr", q, emb_k) / math.sqrt(k_ch)
-            scores = scores + rel_logits[:, :, jnp.arange(T)[:, None],
-                                         rel]
+            scores = scores + jnp.where(
+                in_window[None, None],
+                rel_logits[:, :, jnp.arange(T)[:, None], rel], 0.0)
         if self.proximal_bias:
             r = jnp.arange(T, dtype=jnp.float32)
             diff = r[None, :] - r[:, None]
@@ -70,8 +75,9 @@ class RelativePositionMultiHeadAttention(nn.Module):
             emb_v = self.param("emb_rel_v",
                                nn.initializers.normal(k_ch**-0.5),
                                (2 * W + 1, k_ch))
-            out = out + jnp.einsum("bhts,tsr,rd->bthd", p,
-                                   jax.nn.one_hot(rel, 2 * W + 1), emb_v)
+            # same zero-outside-window semantics as the key path
+            sel = jax.nn.one_hot(rel, 2 * W + 1) * in_window[..., None]
+            out = out + jnp.einsum("bhts,tsr,rd->bthd", p, sel, emb_v)
 
         out = out.reshape(B, T, C)
         return nn.Dense(C, name="out")(out)
@@ -123,10 +129,10 @@ class RelPosTransformer(nn.Module):
                 dropout_rate=self.dropout_rate,
                 name=f"attn_{i}")(x * x_mask, attn_mask, train=train)
             y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
-            x = nn.LayerNorm(name=f"ln1_{i}")(x + y)
+            x = nn.LayerNorm(epsilon=1e-4, scale_init=nn.initializers.constant(0.1), name=f"ln1_{i}")(x + y)
             y = FFN(self.hidden_channels, self.filter_channels,
                     self.kernel_size, self.dropout_rate,
                     name=f"ffn_{i}")(x, x_mask, train=train)
             y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
-            x = nn.LayerNorm(name=f"ln2_{i}")(x + y)
+            x = nn.LayerNorm(epsilon=1e-4, scale_init=nn.initializers.constant(0.1), name=f"ln2_{i}")(x + y)
         return x * x_mask

@@ -163,7 +163,9 @@ class GlowTTS(nn.Module):
         o_mean, o_log_scale, o_dur_log, x_mask = self.encoder(
             text, text_lengths, g=g, train=False)
 
-        w = jnp.exp(o_dur_log[..., 0]) * x_mask[..., 0] * length_scale
+        # expm1, not exp: durations were regressed against log1p(sum attn)
+        # (≙ glow_tts.py:169 `w = (torch.exp(o_dur_log) - 1) * x_mask`)
+        w = jnp.expm1(o_dur_log[..., 0]) * x_mask[..., 0] * length_scale
         w_ceil = jnp.ceil(w)
         y_lengths = jnp.clip(jnp.sum(w_ceil, axis=-1), 1, y_max_length
                              ).astype(jnp.int32)
