@@ -13,6 +13,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from tts_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config_path", required=True)
     parser.add_argument("--checkpoint_path", required=True)

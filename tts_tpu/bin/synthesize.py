@@ -9,6 +9,8 @@ import time
 
 
 def main(argv=None):
+    from tts_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("text")
     parser.add_argument("config_path")
@@ -18,6 +20,8 @@ def main(argv=None):
     parser.add_argument("--vocoder_config_path", default=None)
     parser.add_argument("--speaker_id", type=int, default=None)
     args = parser.parse_args(argv)
+    if not args.text.strip():
+        parser.error("text is empty")
 
     from tts_tpu.audio.processor import write_wav
     from tts_tpu.infer.synthesizer import Synthesizer

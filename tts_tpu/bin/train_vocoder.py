@@ -11,6 +11,8 @@ from tts_tpu.utils.generic import create_experiment_folder
 
 
 def main(argv=None):
+    from tts_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config_path", required=True)
     parser.add_argument("--restore_path", default="")

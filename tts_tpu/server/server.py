@@ -90,6 +90,8 @@ def create_server(synthesizer, port: int = 5002) -> ThreadingHTTPServer:
 
 
 def main():
+    from tts_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--tts_checkpoint", required=True)
     parser.add_argument("--tts_config", required=True)
