@@ -69,6 +69,20 @@ class TestPQMF:
             for s in range(64))
         assert best < 1e-3
 
+    def test_polyphase_exact(self):
+        """The frame-rate polyphase path must equal the reference-style
+        full-rate zero-stuffed path exactly."""
+        pqmf = PQMF(N=4)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 512, 1)).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(pqmf.analysis(x)),
+                                   np.asarray(pqmf.analysis_direct(x)),
+                                   atol=1e-5)
+        sub = jnp.asarray(rng.standard_normal((2, 128, 4)).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(pqmf.synthesis(sub)),
+                                   np.asarray(pqmf.synthesis_direct(sub)),
+                                   atol=1e-5)
+
     def test_subband_energy(self):
         pqmf = PQMF(N=4)
         t = np.arange(8192) / 22050

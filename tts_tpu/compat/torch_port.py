@@ -245,8 +245,9 @@ def _set_weight_normed_conv(node: Dict[str, Any], conv_name: str,
     flax WeightNorm (feature_axes=-1) norms the kernel over all but the last
     axis — identical to torch weight_norm dim=0 after the (k,in,out) layout
     transpose — so (v, g) transfer verbatim."""
-    node[conv_name] = {"kernel": transposer(sd[f"{prefix}.weight_v"]),
-                       "bias": sd[f"{prefix}.bias"].copy()}
+    node[conv_name] = {"kernel": transposer(sd[f"{prefix}.weight_v"])}
+    if f"{prefix}.bias" in sd:
+        node[conv_name]["bias"] = sd[f"{prefix}.bias"].copy()
     target_key = f"{conv_name}/kernel/scale"
     for key, child in node.items():
         if key.startswith("WeightNorm_") and isinstance(child, dict) \
@@ -344,4 +345,59 @@ def port_glow_tts(state_dict: Dict[str, np.ndarray],
                                     f"{cp}.wn.res_skip_layers.{j}")
         if f"{cp}.wn.cond_layer.weight_v" in sd:
             _set_weight_normed_conv(wn, "cond_layer", sd, f"{cp}.wn.cond_layer")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# ParallelWaveGAN generator port
+# ---------------------------------------------------------------------------
+
+def port_pwgan(state_dict: Dict[str, np.ndarray],
+               template: Dict[str, Any],
+               num_res_blocks: int = 30,
+               upsample_factors=(4, 4, 4, 4)) -> Dict[str, Any]:
+    """Reference ParallelWaveganGenerator state dict -> our params tree
+    (weight norm transfers verbatim: kernel <- weight_v, scale <- weight_g;
+    ≙ parallel_wavegan_generator.py:9-158, layers/parallel_wavegan.py:5-87,
+    layers/upsample.py:67-101).
+
+    ``template`` comes from ``ParallelWaveganGenerator(...).init(...)``
+    (unfrozen params dict) to locate flax WeightNorm scale slots.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def copy_tree(node):
+        if isinstance(node, dict):
+            return {k: copy_tree(v) for k, v in node.items()}
+        return np.array(node)
+
+    params = copy_tree(template)
+
+    def conv2d_time(w: np.ndarray) -> np.ndarray:
+        """torch Conv2d (1, 1, 1, k_t) on (B,1,C,T) -> our (k_t, 1, 1, 1)
+        conv over (time, freq) spatial dims with 1 feature."""
+        return np.ascontiguousarray(w[0, 0, 0][:, None, None, None])
+
+    up = params["upsample"]
+    _set_weight_normed_conv(up, "conv_in", sd, "upsample_net.conv_in")
+    # up_layers: [Stretch2d, Conv2d] per factor -> convs at odd indices
+    for i in range(len(upsample_factors)):
+        _set_weight_normed_conv(up, f"conv_{i}", sd,
+                                f"upsample_net.upsample.up_layers.{2*i+1}",
+                                transposer=conv2d_time)
+        # Conv2d has no bias in the reference; drop the spurious bias slot
+        up[f"conv_{i}"].pop("bias", None)
+    up["conv_in"].pop("bias", None)
+
+    _set_weight_normed_conv(params, "first_conv", sd, "first_conv")
+    for i in range(num_res_blocks):
+        blk = params[f"block_{i}"]
+        base = f"conv_layers.{i}"
+        _set_weight_normed_conv(blk, "conv", sd, f"{base}.conv")
+        _set_weight_normed_conv(blk, "conv_aux", sd, f"{base}.conv1x1_aux")
+        blk["conv_aux"].pop("bias", None)
+        _set_weight_normed_conv(blk, "conv_skip", sd, f"{base}.conv1x1_skip")
+        _set_weight_normed_conv(blk, "conv_res", sd, f"{base}.conv1x1_out")
+    _set_weight_normed_conv(params, "post_conv1", sd, "last_conv_layers.1")
+    _set_weight_normed_conv(params, "post_conv2", sd, "last_conv_layers.3")
     return params

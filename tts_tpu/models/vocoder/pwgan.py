@@ -29,26 +29,34 @@ class Stretch2d(nn.Module):
 
 
 class ConvUpsample(nn.Module):
-    """Per-factor nearest-stretch + smoothing conv over (time, freq)
-    (≙ UpsampleNetwork/ConvInUpsampleNetwork, upsample.py:5-101)."""
+    """conv_in (context, VALID over pre-padded input) + per-factor
+    nearest-stretch + shared smoothing conv over time
+    (≙ ConvUpsample/UpsampleNetwork, upsample.py:5-101; conv_in k =
+    2*aux_context_window+1 with no padding — the GAN dataset supplies the
+    conv_pad context frames, upsample.py:84-86)."""
 
     upsample_factors: Sequence[int] = (4, 4, 4, 4)
     aux_channels: int = 80
     aux_context_window: int = 0
+    use_weight_norm: bool = True
 
     @nn.compact
     def __call__(self, c: Array) -> Array:
-        # optional context conv before upsampling (ConvInUpsampleNetwork)
-        if self.aux_context_window > 0:
-            k = 2 * self.aux_context_window + 1
-            c = nn.Conv(self.aux_channels, (k,), padding="SAME", use_bias=False,
-                        name="conv_in")(c)
+        k = 2 * self.aux_context_window + 1
+        conv_in = nn.Conv(self.aux_channels, (k,), padding="VALID",
+                          use_bias=False, name="conv_in")
+        if self.use_weight_norm:
+            conv_in = nn.WeightNorm(conv_in)
+        c = conv_in(c)
         x = c[..., None]  # (B, T, C, 1) treat freq as 2d height
         for i, s in enumerate(self.upsample_factors):
             x = Stretch2d(s)(x)
             k_t = 2 * s + 1
-            x = nn.Conv(1, (k_t, 1), padding=((k_t // 2, k_t // 2), (0, 0)),
-                        use_bias=False, name=f"conv_{i}")(x)
+            conv = nn.Conv(1, (k_t, 1), padding=((s, s), (0, 0)),
+                           use_bias=False, name=f"conv_{i}")
+            if self.use_weight_norm:
+                conv = nn.WeightNorm(conv)
+            x = conv(x)
         return x[..., 0]  # (B, T*prod, C)
 
 
@@ -63,24 +71,31 @@ class ResidualBlock(nn.Module):
     kernel_size: int = 3
     dilation: int = 1
     use_bias: bool = True
+    use_weight_norm: bool = True
+
+    def _conv(self, features, kernel_size, name, **kw):
+        conv = nn.Conv(features, kernel_size, use_bias=self.use_bias
+                       if "use_bias" not in kw else kw.pop("use_bias"),
+                       name=name, **kw)
+        return nn.WeightNorm(conv) if self.use_weight_norm else conv
 
     @nn.compact
     def __call__(self, x: Array, c: Optional[Array]) -> Tuple[Array, Array]:
         pad = (self.kernel_size - 1) // 2 * self.dilation
-        y = nn.Conv(self.gate_channels, (self.kernel_size,),
-                    kernel_dilation=(self.dilation,),
-                    padding=[(pad, pad)], use_bias=self.use_bias,
-                    name="conv")(x)
+        y = self._conv(self.gate_channels, (self.kernel_size,), "conv",
+                       kernel_dilation=(self.dilation,),
+                       padding=[(pad, pad)])(x)
         if c is not None:
-            y = y + nn.Conv(self.gate_channels, (1,), use_bias=False,
-                            name="conv_aux")(c)
+            y = y + self._conv(self.gate_channels, (1,), "conv_aux",
+                               use_bias=False)(c)
         a, b = jnp.split(y, 2, axis=-1)
         z = jnp.tanh(a) * nn.sigmoid(b)
-        skip = nn.Conv(self.skip_channels, (1,), use_bias=self.use_bias,
-                       name="conv_skip")(z)
-        res = nn.Conv(self.res_channels, (1,), use_bias=self.use_bias,
-                      name="conv_res")(z)
-        return (x + res) * float(np.sqrt(0.5)), skip
+        skip = self._conv(self.skip_channels, (1,), "conv_skip")(z)
+        res = self._conv(self.res_channels, (1,), "conv_res")(z)
+        # NOTE: * 0.25, not sqrt(0.5) — matches the reference exactly
+        # (parallel_wavegan.py:85 `(self.conv1x1_out(x) + residual) *
+        # (0.5**2)`, which itself deviates from the PWGAN paper)
+        return (x + res) * 0.25, skip
 
 
 class ParallelWaveganGenerator(nn.Module):
@@ -96,17 +111,24 @@ class ParallelWaveganGenerator(nn.Module):
     gate_channels: int = 128
     skip_channels: int = 64
     aux_channels: int = 80
-    aux_context_window: int = 2
+    aux_context_window: int = 0
     upsample_factors: Sequence[int] = (4, 4, 4, 4)
+    use_weight_norm: bool = True
+    inference_padding: int = 2
 
     @nn.compact
     def __call__(self, z: Array, c: Array) -> Array:
         c_up = ConvUpsample(self.upsample_factors, self.aux_channels,
-                            self.aux_context_window, name="upsample")(c)
+                            self.aux_context_window,
+                            use_weight_norm=self.use_weight_norm,
+                            name="upsample")(c)
         # trim/match lengths (context window padding can overshoot)
         T = z.shape[1]
         c_up = c_up[:, :T]
-        x = nn.Conv(self.res_channels, (1,), name="first_conv")(z)
+        first = nn.Conv(self.res_channels, (1,), name="first_conv")
+        if self.use_weight_norm:
+            first = nn.WeightNorm(first)
+        x = first(z)
         skips = 0.0
         layers_per_stack = self.num_res_blocks // self.stacks
         for i in range(self.num_res_blocks):
@@ -114,14 +136,33 @@ class ParallelWaveganGenerator(nn.Module):
             x, skip = ResidualBlock(
                 self.res_channels, self.gate_channels, self.skip_channels,
                 self.aux_channels, self.kernel_size, dilation,
+                use_weight_norm=self.use_weight_norm,
                 name=f"block_{i}")(x, c_up)
             skips = skips + skip
         skips = skips * float(np.sqrt(1.0 / self.num_res_blocks))
         y = nn.relu(skips)
-        y = nn.Conv(self.skip_channels, (1,), name="post_conv1")(y)
+        p1 = nn.Conv(self.skip_channels, (1,), name="post_conv1")
+        p2 = nn.Conv(self.out_channels, (1,), name="post_conv2")
+        if self.use_weight_norm:
+            p1, p2 = nn.WeightNorm(p1), nn.WeightNorm(p2)
+        y = p1(y)
         y = nn.relu(y)
-        y = nn.Conv(self.out_channels, (1,), name="post_conv2")(y)
+        y = p2(y)
         return y
+
+    def inference(self, c: Array, rng=None) -> Array:
+        """Replicate-pad conditioning, draw the noise internally
+        (≙ parallel_wavegan_generator.py:121-127)."""
+        import jax
+
+        p = self.inference_padding
+        c = jnp.pad(c, ((0, 0), (p, p), (0, 0)), mode="edge")
+        scale = int(np.prod(self.upsample_factors))
+        t_out = (c.shape[1] - 2 * self.aux_context_window) * scale
+        if rng is None:
+            rng = self.make_rng("noise")
+        z = jax.random.normal(rng, (c.shape[0], t_out, self.in_channels))
+        return self(z, c)
 
     @staticmethod
     def receptive_field_size(kernel_size=3, num_res_blocks=30, stacks=3) -> int:

@@ -67,16 +67,16 @@ def _make_kernel(num_blocks: int, kernel_size: int, negative_slope: float,
             y = leaky(x)
             ym = _shift_reflect_lanes(y, d, +1)
             yp = _shift_reflect_lanes(y, d, -1)
-            cat = jnp.concatenate([ym, y, yp, x], axis=0)      # (4C, T)
-            # rows [0:C] = pre-activation of the dilated conv,
-            # rows [C:2C] = shortcut output (no activation)
-            h_sc = jnp.dot(w1_ref[blk].astype(compute_dtype), cat,
-                           preferred_element_type=jnp.float32)
-            h = h_sc[:C] + b1_ref[blk].astype(jnp.float32)[:, None]
-            h = leaky(h).astype(compute_dtype)
-            x = (jnp.dot(w2_ref[blk].astype(compute_dtype), h,
+            cat1 = jnp.concatenate([ym, y, yp], axis=0)        # (3C, T)
+            h = (jnp.dot(w1_ref[blk].astype(compute_dtype), cat1,
                          preferred_element_type=jnp.float32)
-                 + h_sc[C:]
+                 + b1_ref[blk].astype(jnp.float32)[:, None])
+            # conv2 and the 1x1 shortcut share one dense matmul over
+            # [leaky(h); x] — exactly the logical MAC count
+            cat2 = jnp.concatenate([leaky(h).astype(compute_dtype), x],
+                                   axis=0)                     # (2C, T)
+            x = (jnp.dot(w2_ref[blk].astype(compute_dtype), cat2,
+                         preferred_element_type=jnp.float32)
                  + bout_ref[blk].astype(jnp.float32)[:, None]
                  ).astype(compute_dtype)
         if transpose_in_kernel:
@@ -139,22 +139,19 @@ def pack_stack_params(stack: dict, num_res_blocks: int = 3,
     """Pack a folded (use_weight_norm=False) ResidualStack param subtree
     (models/vocoder/melgan.py names) into the kernel's operands.
 
-    w1: (n, 2C, 4C) — rows [0:C] hold the three transposed dilated-conv taps
-    over columns [ym; y; yp], rows [C:2C] hold the transposed 1x1 shortcut
-    over columns [x]; w2: (n, C, C) transposed 1x1 conv2; b1: (n, C);
-    bout: (n, C) = conv2 bias + shortcut bias."""
+    w1: (n, C, 3C) — the three transposed dilated-conv taps over columns
+    [ym; y; yp]; w2: (n, C, 2C) — transposed 1x1 conv2 over rows [0:C]
+    (leaky(h)) and the transposed 1x1 shortcut over rows [C:2C] (x);
+    b1: (n, C); bout: (n, C) = conv2 bias + shortcut bias."""
     w1s, b1s, w2s, bouts = [], [], [], []
     for i in range(num_res_blocks):
         k1 = stack[f"block_{i}_conv1"]["conv"]["kernel"]   # (3, C, C) in->out
         ksc = stack[f"block_{i}_shortcut"]["kernel"][0]    # (C, C)
+        k2 = stack[f"block_{i}_conv2"]["conv"]["kernel"][0]
         C = k1.shape[1]
-        w1 = jnp.zeros((2 * C, 4 * C), k1.dtype)
-        for tap in range(3):
-            w1 = w1.at[:C, tap * C:(tap + 1) * C].set(k1[tap].T)
-        w1 = w1.at[C:, 3 * C:].set(ksc.T)
-        w1s.append(w1)
+        w1s.append(jnp.concatenate([k1[0].T, k1[1].T, k1[2].T], axis=1))
         b1s.append(stack[f"block_{i}_conv1"]["conv"]["bias"])
-        w2s.append(stack[f"block_{i}_conv2"]["conv"]["kernel"][0].T)
+        w2s.append(jnp.concatenate([k2.T, ksc.T], axis=1))
         bouts.append(stack[f"block_{i}_conv2"]["conv"]["bias"]
                      + stack[f"block_{i}_shortcut"]["bias"])
     return (jnp.stack(w1s).astype(dtype), jnp.stack(b1s).astype(dtype),
