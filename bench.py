@@ -49,6 +49,8 @@ def build_pipeline(batch=64, t_text=128, steps=124, r=2):
     voc_params = fold_weight_norm(voc_vars["params"])
     voc_plain = voc.clone(use_weight_norm=False)
 
+    from tts_tpu.models.vocoder.serving import fused_generator_apply
+
     @jax.jit
     def synthesize(taco_vars, voc_params, text, text_len):
         out = taco.apply(taco_vars, text, text_len,
@@ -56,7 +58,8 @@ def build_pipeline(batch=64, t_text=128, steps=124, r=2):
                          method=taco.inference, max_decoder_steps=steps,
                          use_windowing=False)
         mel = out["postnet_outputs"].astype(jnp.float32)
-        sub = voc_plain.apply({"params": voc_params}, mel)
+        # Pallas fused residual stacks + polyphase PQMF serving path
+        sub = fused_generator_apply(voc_plain, voc_params, mel)
         wav = voc_plain.pqmf.synthesis(sub)
         # scalar checksum: fetched once after the loop; forces full
         # materialization while letting tunnel RTT amortize out

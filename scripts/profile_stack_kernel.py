@@ -45,7 +45,7 @@ def make_variant(shift_mode, compute_dtype):
             y = leaky(x)
             if shift_mode == "roll":
                 ym = pltpu.roll(y, d, axis=1)
-                yp = pltpu.roll(y, -d, axis=1)
+                yp = pltpu.roll(y, y.shape[1] - d, axis=1)
             elif shift_mode == "none":
                 ym, yp = y, y
             else:

@@ -401,3 +401,136 @@ def port_pwgan(state_dict: Dict[str, np.ndarray],
     _set_weight_normed_conv(params, "post_conv1", sd, "last_conv_layers.1")
     _set_weight_normed_conv(params, "post_conv2", sd, "last_conv_layers.3")
     return params
+
+
+# ---------------------------------------------------------------------------
+# Tacotron (v1) port
+# ---------------------------------------------------------------------------
+
+def _gru_gates(w_ih, w_hh, b_ih, b_hh) -> Dict[str, Any]:
+    """torch packed (r,z,n) GRU mats -> flax GRUCell params.
+
+    flax: r = sig(ir(x)+hr(h)), z likewise (h-side bias-free, so
+    b_ih+b_hh sum into the i-side), n = tanh(in(x) + r*(hn(h))) with both
+    biases kept separate — identical to torch's gate equations."""
+    H = w_ih.shape[0] // 3
+    out: Dict[str, Any] = {}
+    for idx, gate in enumerate(("r", "z", "n")):
+        sl = slice(idx * H, (idx + 1) * H)
+        if gate == "n":
+            out["in"] = {"kernel": _t(w_ih[sl]), "bias": b_ih[sl].copy()}
+            out["hn"] = {"kernel": _t(w_hh[sl]), "bias": b_hh[sl].copy()}
+        else:
+            out[f"i{gate}"] = {"kernel": _t(w_ih[sl]),
+                               "bias": (b_ih[sl] + b_hh[sl]).copy()}
+            out[f"h{gate}"] = {"kernel": _t(w_hh[sl])}
+    return out
+
+
+def _bn_conv(sd, prefix) -> Tuple[Dict, Dict]:
+    """Reference tacotron BatchNormConv1d (bias-free conv, BN after the
+    activation) -> (params, batch_stats)."""
+    params = {
+        "conv": {"kernel": _conv(sd[f"{prefix}.conv1d.weight"])},
+        "bn": {"scale": sd[f"{prefix}.bn.weight"].copy(),
+               "bias": sd[f"{prefix}.bn.bias"].copy()},
+    }
+    stats = {"bn": {"mean": sd[f"{prefix}.bn.running_mean"].copy(),
+                    "var": sd[f"{prefix}.bn.running_var"].copy()}}
+    return params, stats
+
+
+def _cbhg(sd, prefix, K, num_highways=4) -> Tuple[Dict, Dict]:
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    for k in range(1, K + 1):
+        p[f"bank_{k}"], s[f"bank_{k}"] = _bn_conv(
+            sd, f"{prefix}.conv1d_banks.{k - 1}")
+    for i in range(2):
+        p[f"proj_{i}"], s[f"proj_{i}"] = _bn_conv(
+            sd, f"{prefix}.conv1d_projections.{i}")
+    if f"{prefix}.pre_highway.weight" in sd:
+        p["pre_highway"] = {"kernel": _t(sd[f"{prefix}.pre_highway.weight"])}
+    for i in range(num_highways):
+        p[f"highway_{i}"] = {
+            "H": {"kernel": _t(sd[f"{prefix}.highways.{i}.H.weight"]),
+                  "bias": sd[f"{prefix}.highways.{i}.H.bias"].copy()},
+            "T": {"kernel": _t(sd[f"{prefix}.highways.{i}.T.weight"]),
+                  "bias": sd[f"{prefix}.highways.{i}.T.bias"].copy()},
+        }
+    p["GRUCell_0"] = _gru_gates(
+        sd[f"{prefix}.gru.weight_ih_l0"], sd[f"{prefix}.gru.weight_hh_l0"],
+        sd[f"{prefix}.gru.bias_ih_l0"], sd[f"{prefix}.gru.bias_hh_l0"])
+    p["GRUCell_1"] = _gru_gates(
+        sd[f"{prefix}.gru.weight_ih_l0_reverse"],
+        sd[f"{prefix}.gru.weight_hh_l0_reverse"],
+        sd[f"{prefix}.gru.bias_ih_l0_reverse"],
+        sd[f"{prefix}.gru.bias_hh_l0_reverse"])
+    return p, s
+
+
+def _prenet(sd, prefix) -> Dict[str, Any]:
+    return {
+        f"linear_{i}": {
+            "kernel": _t(sd[f"{prefix}.linear_layers.{i}.linear_layer.weight"]),
+            "bias": sd[f"{prefix}.linear_layers.{i}.linear_layer.bias"].copy()}
+        for i in range(2)
+    }
+
+
+def port_tacotron(state_dict: Dict[str, np.ndarray]
+                  ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference Tacotron (v1, CBHG) state dict -> (params, batch_stats)
+    (≙ models/tacotron.py:10-172, layers/tacotron.py). Single-speaker,
+    location-attention configuration; the sigmoid attention norm keeps the
+    energy-head ('v') bias."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: Dict[str, Any] = {"embedding": {"embedding": sd["embedding.weight"].copy()}}
+    batch_stats: Dict[str, Any] = {}
+
+    enc_cbhg_p, enc_cbhg_s = _cbhg(sd, "encoder.cbhg.cbhg", K=16)
+    params["encoder"] = {"prenet": _prenet(sd, "encoder.prenet"),
+                         "cbhg": enc_cbhg_p}
+    batch_stats["encoder"] = {"cbhg": enc_cbhg_s}
+
+    dec: Dict[str, Any] = {"prenet": _prenet(sd, "decoder.prenet")}
+    dec["attention_rnn"] = _gru_gates(
+        sd["decoder.attention_rnn.weight_ih"],
+        sd["decoder.attention_rnn.weight_hh"],
+        sd["decoder.attention_rnn.bias_ih"],
+        sd["decoder.attention_rnn.bias_hh"])
+    dec["attention"] = {
+        "query_layer": {"kernel": _t(
+            sd["decoder.attention.query_layer.linear_layer.weight"])},
+        "inputs_layer": {"kernel": _t(
+            sd["decoder.attention.inputs_layer.linear_layer.weight"])},
+        "v": {"kernel": _t(sd["decoder.attention.v.linear_layer.weight"]),
+              "bias": sd["decoder.attention.v.linear_layer.bias"].copy()},
+        "location_conv": {"kernel": _conv(
+            sd["decoder.attention.location_layer.location_conv1d.weight"])},
+        "location_dense": {"kernel": _t(
+            sd["decoder.attention.location_layer.location_dense."
+               "linear_layer.weight"])},
+    }
+    dec["project_to_decoder_in"] = {
+        "kernel": _t(sd["decoder.project_to_decoder_in.weight"]),
+        "bias": sd["decoder.project_to_decoder_in.bias"].copy()}
+    for i in range(2):
+        dec[f"decoder_rnn_{i}"] = _gru_gates(
+            sd[f"decoder.decoder_rnns.{i}.weight_ih"],
+            sd[f"decoder.decoder_rnns.{i}.weight_hh"],
+            sd[f"decoder.decoder_rnns.{i}.bias_ih"],
+            sd[f"decoder.decoder_rnns.{i}.bias_hh"])
+    dec["proj_to_mel"] = {"kernel": _t(sd["decoder.proj_to_mel.weight"]),
+                          "bias": sd["decoder.proj_to_mel.bias"].copy()}
+    dec["stopnet"] = {"linear": {
+        "kernel": _t(sd["decoder.stopnet.linear.weight"]),
+        "bias": sd["decoder.stopnet.linear.bias"].copy()}}
+    params["decoder"] = dec
+
+    post_p, post_s = _cbhg(sd, "postnet.cbhg", K=8)
+    params["postnet"] = {"cbhg": post_p}
+    batch_stats["postnet"] = {"cbhg": post_s}
+    params["last_linear"] = {"kernel": _t(sd["last_linear.weight"]),
+                             "bias": sd["last_linear.bias"].copy()}
+    return params, batch_stats

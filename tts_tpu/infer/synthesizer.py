@@ -70,10 +70,17 @@ class Synthesizer:
 
     def _vocode(self, mel_norm: np.ndarray) -> np.ndarray:
         """Normalized mel -> waveform through the GAN vocoder
-        (≙ synthesizer.py:151-159)."""
+        (≙ synthesizer.py:151-159). MelGAN-family generators with folded
+        weight norm take the Pallas fused serving path."""
+        from tts_tpu.models.vocoder.melgan import MelganGenerator
+
         mel = jnp.asarray(mel_norm)[None]
         gen = self.vocoder_model
-        if hasattr(gen, "inference"):
+        if (isinstance(gen, MelganGenerator)
+                and not getattr(gen, "use_weight_norm", True)):
+            from tts_tpu.models.vocoder.serving import fused_inference
+            wav = fused_inference(gen, self.vocoder_variables["params"], mel)
+        elif hasattr(gen, "inference"):
             wav = gen.apply(self.vocoder_variables, mel, method=gen.inference)
         else:
             wav = gen.apply(self.vocoder_variables, mel)

@@ -78,8 +78,8 @@ class CBHG(nn.Module):
             for k in range(1, self.K + 1)
         ]
         y = jnp.concatenate(bank, axis=-1)
-        # max pool width 2 stride 1
-        y = nn.max_pool(y, (2,), strides=(1,), padding=[(0, 1)])
+        # NOTE: no max pooling — the reference's CBHG mentions it in a comment
+        # but never instantiates or applies it (layers/tacotron.py:146,183-190)
         # conv projections
         for i, ch in enumerate(self.conv_projections):
             act = "relu" if i < len(self.conv_projections) - 1 else None
@@ -104,7 +104,7 @@ class TacotronEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
-        y = Prenet((256, 128), name="prenet")(x)
+        y = Prenet((256, 128), name="prenet")(x, deterministic=not train)
         return CBHG(128, K=16, conv_projections=(128, 128), name="cbhg")(
             y, train)
 
@@ -145,10 +145,14 @@ class TacotronDecoderCell(nn.Module):
     separate_stopnet: bool = True
 
     @property
+    def use_memory_queue(self) -> bool:
+        return self.memory_size > 0
+
+    @property
     def memory_frames(self) -> int:
-        if self.memory_size > 0:
-            return self.memory_size
-        return max(self.r_init, self.r)
+        """Prenet sees memory_size frames when the queue is on, else only
+        the single last frame (≙ layers/tacotron.py:300-306)."""
+        return self.memory_size if self.use_memory_queue else 1
 
     @property
     def memory_dim(self) -> int:
@@ -164,7 +168,8 @@ class TacotronDecoderCell(nn.Module):
             use_forward_attn=self.use_forward_attn,
             use_transition_agent=self.use_transition_agent,
             forward_attn_mask=self.forward_attn_mask, norm=self.attn_norm,
-            windowing=self.windowing, name="attention")
+            windowing=self.windowing, use_v_bias=(self.attn_norm == "sigmoid"),
+            name="attention")
         self.project_to_decoder_in = nn.Dense(256, name="project_to_decoder_in")
         self.decoder_rnns = [nn.GRUCell(256, name=f"decoder_rnn_{i}")
                              for i in range(2)]
@@ -189,11 +194,14 @@ class TacotronDecoderCell(nn.Module):
             state, out = cell(carry["dec_rnns"][i], h)
             h = h + out  # residual (layers/tacotron.py decoder residual adds)
             rnn_states.append(state)
-        frames = self.proj_to_mel(h)[:, : self.r * self.n_mels]
-        stop_in = jnp.concatenate([h, frames], axis=-1)
+        proj_full = self.proj_to_mel(h)
+        # stopnet sees the FULL r_init projection; the emitted frames are
+        # truncated to the current r afterwards (≙ layers/tacotron.py:405-414)
+        stop_in = jnp.concatenate([h, proj_full], axis=-1)
         if self.separate_stopnet:
             stop_in = jax.lax.stop_gradient(stop_in)
         stop_logit = self.stopnet(stop_in, train=not deterministic)
+        frames = proj_full[:, : self.r * self.n_mels]
 
         new_carry = dict(carry)
         new_carry.update(attn_rnn=attn_rnn_state, dec_rnns=tuple(rnn_states),
@@ -289,18 +297,30 @@ class Tacotron(nn.Module):
         }
 
     def _memory_inputs(self, mel: Array) -> Array:
-        """Teacher-forcing memory queue: last `memory_size` (or r) frames
-        flattened per step (≙ memory queue, layers/tacotron.py:330-360)."""
-        B, T_mel, _ = mel.shape
-        n_steps = T_mel // self.r
-        frames_needed = self.decoder.memory_frames
-        flat = mel.reshape(B, T_mel * self.n_mels)
-        pad = frames_needed * self.n_mels
-        flat = jnp.pad(flat, ((0, 0), (pad, 0)))
-        idx = (jnp.arange(n_steps)[:, None] * self.r * self.n_mels
-               + jnp.arange(pad)[None, :])
-        memory = flat[:, idx]  # (B, steps, frames_needed * n_mels)
-        return jnp.swapaxes(memory, 0, 1)
+        """Teacher-forcing memory inputs, replicating the reference's update
+        rule exactly (layers/tacotron.py:416-432): step 0 sees zeros; step t
+        sees, without queue, the LAST frame of group t-1; with a queue of M
+        frames, the newest groups first — cat(g[t-1], g[t-2], ...)[:M*C]
+        (note: for M <= r this is the OLDEST M frames of group t-1, a
+        reference quirk kept for checkpoint parity)."""
+        B, T_mel, C = mel.shape
+        r = self.r
+        n_steps = T_mel // r
+        groups = mel[:, : n_steps * r].reshape(B, n_steps, r * C)
+        dec = self.decoder
+        if not dec.use_memory_queue:
+            prev_last = groups[:, :, (r - 1) * C:]          # (B, steps, C)
+            mem = jnp.concatenate(
+                [jnp.zeros((B, 1, C), mel.dtype), prev_last[:, :-1]], axis=1)
+            return jnp.swapaxes(mem, 0, 1)
+        M = dec.memory_size
+        njq = -(-M // r)  # groups needed
+        shifted = []
+        for j in range(1, njq + 1):
+            sj = jnp.pad(groups, ((0, 0), (j, 0), (0, 0)))[:, :n_steps]
+            shifted.append(sj)
+        mem = jnp.concatenate(shifted, axis=-1)[:, :, : M * C]
+        return jnp.swapaxes(mem, 0, 1)
 
     def __call__(self, text: Array, text_lengths: Array, mel: Array,
                  mel_lengths: Optional[Array] = None,
@@ -342,8 +362,7 @@ class Tacotron(nn.Module):
         enc, mask = self._encode(text, text_lengths, False, speaker_ids,
                                  style_mel)
         carry = self._init_carry(enc, mask)
-        frames_needed = self.decoder.memory_frames
-        carry["memory"] = jnp.zeros((B, frames_needed * self.n_mels))
+        carry["memory"] = jnp.zeros((B, self.decoder.memory_dim))
         carry["done"] = jnp.zeros((B,), dtype=bool)
         carry["n_steps_done"] = jnp.zeros((B,), jnp.int32)
 
@@ -357,9 +376,16 @@ class Tacotron(nn.Module):
             new_carry["done"] = carry["done"] | done_now
             new_carry["n_steps_done"] = carry["n_steps_done"] + (
                 ~carry["done"]).astype(jnp.int32)
-            # roll the memory queue forward by r frames
-            mem = jnp.concatenate([carry["memory"], frames], axis=-1)
-            new_carry["memory"] = mem[:, -frames_needed * self.n_mels:]
+            # memory update (≙ _update_memory_input, layers/tacotron.py:416)
+            dec, C = self.decoder, self.n_mels
+            if not dec.use_memory_queue:
+                new_carry["memory"] = frames[:, (dec.r - 1) * C:]
+            elif dec.memory_size <= dec.r:
+                new_carry["memory"] = frames[:, : dec.memory_size * C]
+            else:
+                new_carry["memory"] = jnp.concatenate(
+                    [frames, carry["memory"][:, : (dec.memory_size - dec.r) * C]],
+                    axis=-1)
             return new_carry, (frames, stop_logit, align, ~carry["done"])
 
         scan = nn.scan(step, variable_broadcast="params",

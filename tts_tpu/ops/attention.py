@@ -39,13 +39,16 @@ class LocationSensitiveAttention(nn.Module):
     windowing: bool = False
     win_back: int = 2
     win_front: int = 6
+    use_v_bias: bool = False
 
     def setup(self):
         self.query_layer = nn.Dense(self.attn_dim, use_bias=False, name="query_layer")
         self.inputs_layer = nn.Dense(self.attn_dim, use_bias=False, name="inputs_layer")
-        # no bias on the energy head: softmax normalization is invariant to a
-        # constant energy shift, so a bias would be structurally untrainable
-        self.v = nn.Dense(1, use_bias=False, name="v")
+        # default: no bias on the energy head — softmax normalization is
+        # invariant to a constant energy shift, so it would be structurally
+        # untrainable. Sigmoid norm (Tacotron v1) is NOT shift-invariant:
+        # use_v_bias keeps the reference's bias there.
+        self.v = nn.Dense(1, use_bias=self.use_v_bias, name="v")
         if self.use_location:
             self.location_conv = nn.Conv(
                 self.location_filters, kernel_size=(self.location_kernel_size,),
@@ -223,6 +226,7 @@ def init_attn(
     forward_attn_mask: bool = False,
     norm: str = "softmax",
     windowing: bool = False,
+    use_v_bias: bool = False,
     name: str = "attention",
 ):
     """Attention factory (≙ init_attn, common_layers.py:375-389)."""
@@ -231,6 +235,7 @@ def init_attn(
     if attn_type == "original":
         return LocationSensitiveAttention(
             attn_dim=attn_dim,
+            use_v_bias=use_v_bias,
             use_location=location_attention,
             use_forward_attn=use_forward_attn,
             use_transition_agent=use_transition_agent,
