@@ -1,0 +1,58 @@
+"""Tacotron2 autoregressive decode latency: dtype and batch scaling."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/tts_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+from tts_tpu.models.tacotron2 import Tacotron2
+
+STEPS, R, T_TEXT = 124, 2, 128
+
+
+def fence(x):
+    return float(jnp.asarray(x).sum())
+
+
+def timeit(fn, args, iters=30, name=""):
+    out = fn(*args)
+    fence(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    fence(out)
+    dt = (time.perf_counter() - t0) / iters * 1e3
+    print(f"{name:44s} {dt:8.3f} ms")
+
+
+def main():
+    rng = jax.random.PRNGKey(0)
+    taco = Tacotron2(num_chars=128, r=R)
+    mel0 = jnp.zeros((2, STEPS * R, 80))
+    v32 = taco.init({"params": rng, "dropout": rng},
+                    jnp.zeros((2, T_TEXT), jnp.int32),
+                    jnp.full((2,), T_TEXT, jnp.int32), mel0,
+                    jnp.full((2,), STEPS * R, jnp.int32))
+    v16 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, v32)
+
+    def decode(vars_, text, text_len):
+        out = taco.apply(vars_, text, text_len,
+                         rngs={"dropout": jax.random.PRNGKey(1)},
+                         method=taco.inference, max_decoder_steps=STEPS,
+                         use_windowing=False)
+        return out["postnet_outputs"].astype(jnp.float32).sum()
+
+    f = jax.jit(decode)
+    for B in (8, 64):
+        text = jax.random.randint(rng, (B, T_TEXT), 0, 128)
+        tl = jnp.full((B,), T_TEXT, jnp.int32)
+        timeit(f, (v16, text, tl), name=f"decode B={B} bf16 params")
+        timeit(f, (v32, text, tl), name=f"decode B={B} f32 params")
+
+
+if __name__ == "__main__":
+    main()

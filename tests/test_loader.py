@@ -105,6 +105,33 @@ class TestTTSDataset:
         if longest < T_mel:
             assert np.allclose(batch["mel"][:, longest:, :], 0)
 
+    def test_precomputed_attention_maps(self, ap, lj_root, tmp_path):
+        """4th item column: precomputed attention .npy files are loaded and
+        padded into (B, T_text, T_mel) (≙ TTSDataset.py:119-142,272-281)."""
+        ds = self._ds(ap, lj_root)
+        rng = np.random.default_rng(0)
+        for i, it in enumerate(ds.items):
+            n_text = len(it[0])
+            mel = ds.ap.melspectrogram(ds.ap.load_wav(it[1]))
+            a = rng.random((mel.shape[0], n_text)).astype(np.float32)
+            f = tmp_path / f"attn_{i}.npy"
+            np.save(f, a)
+            if len(it) > 3:
+                it[3] = str(f)
+            else:
+                it.append(str(f))
+        batch = ds.collate([ds[i] for i in range(3)])
+        assert "attention_maps" in batch
+        B, T_text = batch["text"].shape
+        T_mel = batch["mel"].shape[1]
+        assert batch["attention_maps"].shape == (B, T_text, T_mel)
+        # padded region zero; valid region preserved
+        L_text = batch["text_lengths"][0]
+        L_mel = batch["mel_lengths"][0]
+        assert np.allclose(batch["attention_maps"][:, :, T_mel - 1], 0) or \
+            int(batch["mel_lengths"].max()) == T_mel
+        assert batch["attention_maps"][0, :L_text, :L_mel].sum() > 0
+
     def test_collate_sorted_desc(self, ap, lj_root):
         ds = self._ds(ap, lj_root)
         batch = ds.collate([ds[i] for i in range(4)])

@@ -129,12 +129,17 @@ class TTSDataset:
         return len(self.items)
 
     def __getitem__(self, idx: int) -> dict:
-        text, wav_file, speaker_name = self.items[idx][:3]
+        item = self.items[idx]
+        text, wav_file, speaker_name = item[:3]
         wav = self.ap.load_wav(wav_file)
         ids = self.text_ids(text)
+        # optional 4th column: precomputed attention-map .npy, stored
+        # (mel_frames, text_len) (≙ TTSDataset.py:119-142)
+        attn = np.load(item[3]) if len(item) > 3 and item[3] else None
         return {
             "text": ids,
             "wav": wav.astype(np.float32),
+            "attn": attn,
             "item_idx": wav_file,
             "speaker_name": speaker_name,
         }
@@ -189,6 +194,15 @@ class TTSDataset:
             for i, sp in enumerate(linears):
                 linear[i, : sp.shape[0]] = sp
             batch["linear"] = linear
+
+        if samples[0].get("attn") is not None:
+            # pad to (T_text, T_mel) like the reference collate
+            # (TTSDataset.py:272-281); map stored as (mel, text)
+            attns = np.zeros((B, T_text, T_mel), dtype=np.float32)
+            for i, s in enumerate(samples):
+                a = np.asarray(s["attn"], dtype=np.float32).T
+                attns[i, : a.shape[0], : a.shape[1]] = a
+            batch["attention_maps"] = attns
 
         if self.speaker_id_mapping is not None:
             batch["speaker_ids"] = np.array(

@@ -233,8 +233,11 @@ class Tacotron2(nn.Module):
     def _init_carry(self, decoder: DecoderCell, enc: Array, mask: Array
                     ) -> Dict[str, Any]:
         B, T_in, D = enc.shape
-        zeros = jnp.zeros((B, decoder.query_dim))
-        zeros_dec = jnp.zeros((B, decoder.decoder_rnn_dim))
+        # carried activations follow the encoder dtype so bf16-cast params
+        # give a bf16 decode (attention state stays f32 inside the module)
+        dt = enc.dtype
+        zeros = jnp.zeros((B, decoder.query_dim), dt)
+        zeros_dec = jnp.zeros((B, decoder.decoder_rnn_dim), dt)
         return {
             "inputs": enc,
             "processed_inputs": decoder.attention.preprocess_inputs(enc),
@@ -242,7 +245,7 @@ class Tacotron2(nn.Module):
             "attn_rnn": (zeros, zeros),
             "dec_rnn": (zeros_dec, zeros_dec),
             "attn_state": decoder.attention.init_state(B, T_in),
-            "context": jnp.zeros((B, D)),
+            "context": jnp.zeros((B, D), dt),
         }
 
     def _run_decoder(self, decoder: DecoderCell, enc: Array, mask: Array,
@@ -327,7 +330,7 @@ class Tacotron2(nn.Module):
                                  speaker_embeddings, style_mel)
 
         carry = self._init_carry(self.decoder, enc, mask)
-        carry["last_frame"] = jnp.zeros((B, self.n_mels))
+        carry["last_frame"] = jnp.zeros((B, self.n_mels), enc.dtype)
         carry["done"] = jnp.zeros((B,), dtype=bool)
         carry["n_steps_done"] = jnp.zeros((B,), dtype=jnp.int32)
 

@@ -112,6 +112,9 @@ class LocationSensitiveAttention(nn.Module):
         if mask is not None:
             energies = jnp.where(mask, energies, -1e9)
 
+        # normalization always in f32: alignment statistics accumulate over
+        # hundreds of steps and feed the location features
+        energies = energies.astype(jnp.float32)
         if self.norm == "softmax":
             alignment = jax.nn.softmax(energies, axis=-1)
         else:  # sigmoid norm (common_layers.py:347-354)
@@ -127,7 +130,8 @@ class LocationSensitiveAttention(nn.Module):
             alignment, new_state = self._forward_attention(alignment, new_state)
         new_state["attention_weights"] = alignment
 
-        context = jnp.einsum("bt,btd->bd", alignment, inputs)
+        context = jnp.einsum("bt,btd->bd", alignment.astype(inputs.dtype),
+                             inputs)
         if self.use_transition_agent:
             ta_input = jnp.concatenate([context, query], axis=-1)
             new_state["u"] = jax.nn.sigmoid(self.ta(ta_input))
@@ -209,7 +213,8 @@ class GravesAttention(nn.Module):
         if mask is not None:
             alpha_t = jnp.where(mask, alpha_t, 0.0)
 
-        context = jnp.einsum("bt,btd->bd", alpha_t, inputs)
+        context = jnp.einsum("bt,btd->bd", alpha_t.astype(inputs.dtype),
+                             inputs)
         new_state = {"mu_prev": mu_t, "attention_weights": alpha_t}
         return context, new_state
 
