@@ -54,5 +54,43 @@ def main():
         timeit(f, (v32, text, tl), name=f"decode B={B} f32 params")
 
 
+
+
+def bench_fused():
+    from tts_tpu.infer.fast_decode import taco2_fused_inference
+    rng = jax.random.PRNGKey(0)
+    taco = Tacotron2(num_chars=128, r=R)
+    mel0 = jnp.zeros((2, STEPS * R, 80))
+    v32 = taco.init({"params": rng, "dropout": rng},
+                    jnp.zeros((2, T_TEXT), jnp.int32),
+                    jnp.full((2,), T_TEXT, jnp.int32), mel0,
+                    jnp.full((2,), STEPS * R, jnp.int32))
+    B = 64
+    text = jax.random.randint(rng, (B, T_TEXT), 0, 128)
+    tl = jnp.full((B,), T_TEXT, jnp.int32)
+
+    for name, cd in (("bf16", jnp.bfloat16),):
+        fn = jax.jit(lambda v, t, l, cd=cd: taco2_fused_inference(
+            taco, v, t, l, max_decoder_steps=STEPS,
+            compute_dtype=cd)["postnet_outputs"].astype(jnp.float32).sum())
+        timeit(fn, (v32, text, tl), name=f"FUSED decode B={B} {name}")
+
+    # numeric check vs scan decode on a small slice
+    out_scan = taco.apply(v32, text[:4], tl[:4], max_decoder_steps=STEPS,
+                          use_windowing=False,
+                          rngs={"dropout": jax.random.PRNGKey(1)},
+                          method=Tacotron2.inference)
+    out_fused = taco2_fused_inference(taco, v32, text[:4], tl[:4],
+                                      max_decoder_steps=STEPS,
+                                      compute_dtype=jnp.bfloat16)
+    d = float(jnp.max(jnp.abs(out_scan["postnet_outputs"]
+                              - out_fused["postnet_outputs"])))
+    a = float(jnp.max(jnp.abs(out_scan["alignments"]
+                              - out_fused["alignments"])))
+    print(f"fused-vs-scan on TPU: mel maxdiff={d:.3e} align maxdiff={a:.3e}")
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "fused" in sys.argv:
+        bench_fused()
