@@ -69,11 +69,13 @@ def bench_fused():
     text = jax.random.randint(rng, (B, T_TEXT), 0, 128)
     tl = jnp.full((B,), T_TEXT, jnp.int32)
 
+    from tts_tpu.ops.pallas.fused_taco2_decode import pack_decoder_params
+    packed = pack_decoder_params(v32["params"], t_in=T_TEXT)
     for name, cd in (("bf16", jnp.bfloat16),):
-        fn = jax.jit(lambda v, t, l, cd=cd: taco2_fused_inference(
-            taco, v, t, l, max_decoder_steps=STEPS,
+        fn = jax.jit(lambda v, t, l, pk, cd=cd: taco2_fused_inference(
+            taco, v, t, l, max_decoder_steps=STEPS, packed=pk,
             compute_dtype=cd)["postnet_outputs"].astype(jnp.float32).sum())
-        timeit(fn, (v32, text, tl), name=f"FUSED decode B={B} {name}")
+        timeit(fn, (v32, text, tl, packed), name=f"FUSED decode B={B} {name}")
 
     # numeric check vs scan decode on a small slice
     out_scan = taco.apply(v32, text[:4], tl[:4], max_decoder_steps=STEPS,

@@ -7,7 +7,7 @@ Usage:
 
 Covers every ported family: tacotron2, tacotron (v1), glow_tts, the
 MelGAN-family generators (melgan / multiband_melgan / fullband_melgan),
-and pwgan. The resulting checkpoint loads with train.checkpoint /
+pwgan, and speaker_encoder. The resulting checkpoint loads with train.checkpoint /
 infer.Synthesizer and synthesizes with element-wise-parity outputs
 (tests/test_torch_parity*.py).
 """
@@ -60,6 +60,8 @@ def convert(model_type: str, torch_checkpoint: str, out_dir: str,
                 "upsample_factors", factors))
         params = torch_port.port_melgan(sd, upsample_factors=factors)
         extra["use_weight_norm"] = False  # folded at conversion
+    elif model_type == "speaker_encoder":
+        params = torch_port.port_speaker_encoder(sd)
     elif model_type == "pwgan":
         from tts_tpu.models.vocoder.pwgan import ParallelWaveganGenerator
         model = ParallelWaveganGenerator()
@@ -82,7 +84,8 @@ def main(argv=None):
     parser.add_argument("--model_type", required=True,
                         choices=["tacotron2", "tacotron", "glow_tts",
                                  "melgan", "multiband_melgan",
-                                 "fullband_melgan", "pwgan"])
+                                 "fullband_melgan", "pwgan",
+                                 "speaker_encoder"])
     parser.add_argument("--torch_checkpoint", required=True)
     parser.add_argument("--out_dir", required=True)
     parser.add_argument("--config_path", default=None)

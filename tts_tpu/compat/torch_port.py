@@ -534,3 +534,26 @@ def port_tacotron(state_dict: Dict[str, np.ndarray]
     params["last_linear"] = {"kernel": _t(sd["last_linear.weight"]),
                              "bias": sd["last_linear.bias"].copy()}
     return params, batch_stats
+
+
+# ---------------------------------------------------------------------------
+# Speaker encoder port
+# ---------------------------------------------------------------------------
+
+def port_speaker_encoder(state_dict: Dict[str, np.ndarray],
+                         num_layers: int = 3) -> Dict[str, Any]:
+    """Reference SpeakerEncoder (LSTMWithProjection stack,
+    speaker_encoder/model.py:5-62) -> our params tree."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: Dict[str, Any] = {}
+    for i in range(num_layers):
+        base = f"layers.{i}"
+        params[f"layer_{i}"] = {
+            "OptimizedLSTMCell_0": _lstm_gates(
+                sd[f"{base}.lstm.weight_ih_l0"],
+                sd[f"{base}.lstm.weight_hh_l0"],
+                sd[f"{base}.lstm.bias_ih_l0"],
+                sd[f"{base}.lstm.bias_hh_l0"]),
+            "proj": {"kernel": _t(sd[f"{base}.linear.weight"])},
+        }
+    return params

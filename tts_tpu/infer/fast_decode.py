@@ -32,6 +32,7 @@ def taco2_fused_inference(model: Tacotron2, variables: Dict[str, Any],
                           text: Array, text_lengths: Optional[Array] = None,
                           max_decoder_steps: Optional[int] = None,
                           compute_dtype=jnp.bfloat16,
+                          packed: Optional[Dict[str, Array]] = None,
                           interpret: bool = False) -> Dict[str, Array]:
     """Drop-in for ``model.apply(..., method=model.inference)`` on the
     supported serving configuration. Runs the full static step budget (no
@@ -49,9 +50,10 @@ def taco2_fused_inference(model: Tacotron2, variables: Dict[str, Any],
 
     enc, pi, mask = model.apply(variables, text, text_lengths, method=encode)
 
-    packed = pack_decoder_params(variables["params"],
-                                 n_mels=model.n_mels, t_in=enc.shape[1],
-                                 attn_dim=model.attn_dim)
+    if packed is None:
+        packed = pack_decoder_params(variables["params"],
+                                     n_mels=model.n_mels, t_in=enc.shape[1],
+                                     attn_dim=model.attn_dim)
     frames, stop_logits, alignments = fused_decode(
         enc, pi, mask, packed, steps=steps, r=model.r, n_mels=model.n_mels,
         compute_dtype=compute_dtype, interpret=interpret)

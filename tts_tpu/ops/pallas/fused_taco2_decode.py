@@ -37,9 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 def _make_kernel(steps: int, r: int, n_mels: int, H: int, compute_dtype):
     def kernel(enc_ref, pi_ref, mask_ref,
                pw1_ref, pw2_ref,
-               awih_ref, awhh_ref, ab_ref,
-               qk_ref, kba_ref, kbc_ref, v_ref,
-               dwih_ref, dwhh_ref, db_ref,
+               aw_ref, ab_ref,
+               qk_ref, kb_ref, v_ref,
+               dw_ref, db_ref,
                projw_ref, projb_ref, stopw_ref, stopb_ref,
                frames_ref, stop_ref, align_ref):
         B, T, D = enc_ref.shape
@@ -54,8 +54,9 @@ def _make_kernel(steps: int, r: int, n_mels: int, H: int, compute_dtype):
             return jnp.dot(a.astype(cd), b.astype(cd),
                            preferred_element_type=jnp.float32)
 
-        def lstm(x, h, c, wih_ref, whh_ref, b_ref):
-            gates = dot(x, wih_ref[:]) + dot(h, whh_ref[:]) \
+        def lstm(x, h, c, w_ref, b_ref):
+            # single fused matmul over concat([x, h]) — halves MXU op count
+            gates = dot(jnp.concatenate([x, h], axis=-1), w_ref[:]) \
                 + b_ref[:].astype(jnp.float32)
             i = jax.nn.sigmoid(gates[:, :H])
             f = jax.nn.sigmoid(gates[:, H:2 * H])
@@ -72,17 +73,14 @@ def _make_kernel(steps: int, r: int, n_mels: int, H: int, compute_dtype):
             p = jnp.maximum(dot(p, pw2_ref[:]), 0.0).astype(cd)
             # attention LSTM
             x1 = jnp.concatenate([p, context], axis=-1)
-            h1, c1 = lstm(x1, h1, c1, awih_ref, awhh_ref, ab_ref)
+            h1, c1 = lstm(x1, h1, c1, aw_ref, ab_ref)
             # location attention: banded conv+dense fold
             pq = dot(h1, qk_ref[:])            # (B, A)
-            loc = (jax.lax.dot_general(
-                       align.astype(cd), kba_ref[:].astype(cd),
-                       (((1,), (0,)), ((), ())),
-                       preferred_element_type=jnp.float32)
-                   + jax.lax.dot_general(
-                       cum.astype(cd), kbc_ref[:].astype(cd),
-                       (((1,), (0,)), ((), ())),
-                       preferred_element_type=jnp.float32))  # (B, T, A)
+            loc = jax.lax.dot_general(
+                jnp.concatenate([align, cum], axis=-1).astype(cd),
+                kb_ref[:].astype(cd),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (B, T, A)
             e_in = jnp.tanh(pq[:, None, :] + pi.astype(jnp.float32) + loc)
             energies = jnp.sum(e_in * v_ref[:].astype(jnp.float32)[None, None],
                                axis=-1)        # (B, T) f32, VPU reduce
@@ -96,7 +94,7 @@ def _make_kernel(steps: int, r: int, n_mels: int, H: int, compute_dtype):
             ).astype(cd)
             # decoder LSTM
             x2 = jnp.concatenate([h1, context], axis=-1)
-            h2, c2 = lstm(x2, h2, c2, dwih_ref, dwhh_ref, db_ref)
+            h2, c2 = lstm(x2, h2, c2, dw_ref, db_ref)
             # projection + stop
             proj_in = jnp.concatenate([h2, context], axis=-1)
             frames_full = dot(proj_in, projw_ref[:]) \
@@ -137,10 +135,10 @@ def pack_decoder_params(params: Dict[str, Any], *, n_mels: int = 80,
         wih = jnp.concatenate([cell[f"i{g}"]["kernel"] for g in "ifgo"], axis=1)
         whh = jnp.concatenate([cell[f"h{g}"]["kernel"] for g in "ifgo"], axis=1)
         b = jnp.concatenate([cell[f"h{g}"]["bias"] for g in "ifgo"])
-        return wih, whh, b
+        return jnp.concatenate([wih, whh], axis=0), b
 
-    awih, awhh, ab = lstm_pack(dec["attention_rnn"])
-    dwih, dwhh, db = lstm_pack(dec["decoder_rnn"])
+    aw, ab = lstm_pack(dec["attention_rnn"])
+    dw, db = lstm_pack(dec["decoder_rnn"])
     attn = dec["attention"]
     kloc = attn["location_conv"]["kernel"]      # (31, 2, F)
     ldense = attn["location_dense"]["kernel"]   # (F, A)
@@ -153,14 +151,17 @@ def pack_decoder_params(params: Dict[str, Any], *, n_mels: int = 80,
            == (np.arange(t_in)[None, :, None]
                - np.arange(t_in)[None, None, :] + half)).astype(np.float32)
     kb = jnp.einsum("kca,kts->ctsa", k_eff, jnp.asarray(sel))  # (2,T,T,A)
+    # stack the two alignment channels on the contraction axis: one banded
+    # matmul over concat([align, cum])
+    kb = jnp.concatenate([kb[0], kb[1]], axis=0)  # (2T, T, A)
     prenet = dec["prenet"]
     return dict(
         pw1=prenet["linear_0"]["kernel"], pw2=prenet["linear_1"]["kernel"],
-        awih=awih, awhh=awhh, ab=ab,
+        aw=aw, ab=ab,
         qk=attn["query_layer"]["kernel"],
-        kba=kb[0], kbc=kb[1],
+        kb=kb,
         v=attn["v"]["kernel"][:, 0],
-        dwih=dwih, dwhh=dwhh, db=db,
+        dw=dw, db=db,
         projw=dec["linear_projection"]["kernel"],
         projb=dec["linear_projection"]["bias"],
         stopw=dec["stopnet"]["linear"]["kernel"][:, 0],
@@ -179,16 +180,15 @@ def fused_decode(enc: jnp.ndarray, processed_inputs: jnp.ndarray,
     """enc (B, T, D), processed_inputs (B, T, A), mask (B, T) ->
     (frames (steps, B, r*n_mels), stop (steps, B), align (steps, B, T))."""
     B, T, D = enc.shape
-    H = packed["awhh"].shape[0]
+    H = packed["ab"].shape[0] // 4
     # cast the large operands BEFORE the call: VMEM blocks hold the array's
     # own dtype, so f32 inputs would double the resident footprint (the f32
     # variant overflows the 128 MB VMEM)
-    big = {"pw1", "pw2", "awih", "awhh", "qk", "kba", "kbc",
-           "dwih", "dwhh", "projw"}
+    big = {"pw1", "pw2", "aw", "qk", "kb", "dw", "projw"}
     enc = enc.astype(compute_dtype)
     processed_inputs = processed_inputs.astype(compute_dtype)
-    names = ["pw1", "pw2", "awih", "awhh", "ab", "qk", "kba", "kbc", "v",
-             "dwih", "dwhh", "db", "projw", "projb", "stopw", "stopb"]
+    names = ["pw1", "pw2", "aw", "ab", "qk", "kb", "v",
+             "dw", "db", "projw", "projb", "stopw", "stopb"]
     ops = [packed[n].astype(compute_dtype) if n in big else packed[n]
            for n in names]
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
