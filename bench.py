@@ -38,10 +38,8 @@ def build_pipeline(batch=64, t_text=128, steps=124, r=2):
     mel_len = jnp.full((2,), steps * r, jnp.int32)
     taco_vars = taco.init({"params": rng, "dropout": rng}, text[:2],
                           text_len[:2], mel0, mel_len)
-    # serve the mel decoder in bf16 (standard TPU serving precision)
-    taco_vars = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        taco_vars)
+    from tts_tpu.ops.pallas.fused_taco2_decode import pack_decoder_params
+    packed = pack_decoder_params(taco_vars["params"], t_in=t_text)
 
     # Multiband-MelGAN, weight norm folded into plain kernels (serving path)
     voc = MultibandMelganGenerator(upsample_factors=(2, 8, 2, 2))
@@ -49,14 +47,15 @@ def build_pipeline(batch=64, t_text=128, steps=124, r=2):
     voc_params = fold_weight_norm(voc_vars["params"])
     voc_plain = voc.clone(use_weight_norm=False)
 
+    from tts_tpu.infer.fast_decode import taco2_fused_inference
     from tts_tpu.models.vocoder.serving import fused_generator_apply
 
     @jax.jit
-    def synthesize(taco_vars, voc_params, text, text_len):
-        out = taco.apply(taco_vars, text, text_len,
-                         rngs={"dropout": jax.random.PRNGKey(1)},
-                         method=taco.inference, max_decoder_steps=steps,
-                         use_windowing=False)
+    def synthesize(taco_vars, packed, voc_params, text, text_len):
+        # Pallas whole-decode kernel (bf16, weights VMEM-resident) + fused
+        # BiLSTM encoder; numerics match the flax scan decode at eval
+        out = taco2_fused_inference(taco, taco_vars, text, text_len,
+                                    max_decoder_steps=steps, packed=packed)
         mel = out["postnet_outputs"].astype(jnp.float32)
         # Pallas fused residual stacks + polyphase PQMF serving path
         sub = fused_generator_apply(voc_plain, voc_params, mel)
@@ -65,7 +64,7 @@ def build_pipeline(batch=64, t_text=128, steps=124, r=2):
         # materialization while letting tunnel RTT amortize out
         return wav.shape[1], wav.sum()
 
-    return synthesize, (taco_vars, voc_params, text, text_len)
+    return synthesize, (taco_vars, packed, voc_params, text, text_len)
 
 
 def main():

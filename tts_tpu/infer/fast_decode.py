@@ -14,11 +14,43 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
+import flax.linen as nn
+
 from tts_tpu.models.tacotron2 import Tacotron2
+from tts_tpu.ops.pallas.fused_bilstm import fused_bilstm, pack_bilstm_params
 from tts_tpu.ops.pallas.fused_taco2_decode import (fused_decode,
                                                    pack_decoder_params)
+from tts_tpu.ops.masking import sequence_mask
 
 Array = jnp.ndarray
+
+
+def taco2_fused_encode(model: Tacotron2, variables: Dict[str, Any],
+                       text: Array, text_lengths: Array,
+                       compute_dtype=jnp.bfloat16,
+                       interpret: bool = False):
+    """Eval-mode encoder: embedding + ConvBN stack (XLA) + Pallas BiLSTM.
+    Matches model._encode(..., train=False) for the single-speaker, no-GST
+    configuration."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    x = jnp.take(params["embedding"]["embedding"], text, axis=0)
+    enc_p, enc_s = params["encoder"], stats["encoder"]
+    for i in range(3):
+        x = nn.Conv(model.encoder_dim, (5,), padding="SAME",
+                    use_bias=False).apply(
+            {"params": enc_p[f"conv_{i}"]["conv"]}, x)
+        x = nn.BatchNorm(use_running_average=True, momentum=0.9).apply(
+            {"params": enc_p[f"conv_{i}"]["bn"],
+             "batch_stats": enc_s[f"conv_{i}"]["bn"]}, x)
+        x = nn.relu(x)
+    wf, bf, wb, bb = pack_bilstm_params(enc_p)
+    enc = fused_bilstm(x, text_lengths, wf, bf, wb, bb,
+                       compute_dtype=compute_dtype, interpret=interpret)
+    # attention input preprocessing (inputs_layer)
+    pi = enc @ params["decoder"]["attention"]["inputs_layer"]["kernel"]
+    mask = sequence_mask(text_lengths, enc.shape[1])
+    return enc, pi, mask
 
 
 def supports_fused_decode(model: Tacotron2) -> bool:
@@ -43,12 +75,9 @@ def taco2_fused_inference(model: Tacotron2, variables: Dict[str, Any],
         text_lengths = jnp.full((B,), text.shape[1], jnp.int32)
     steps = max_decoder_steps or model.max_decoder_steps
 
-    def encode(mdl, text, tl):
-        enc, mask = mdl._encode(text, tl, False, None, None, None)
-        pi = mdl.decoder.attention.preprocess_inputs(enc)
-        return enc, pi, mask
-
-    enc, pi, mask = model.apply(variables, text, text_lengths, method=encode)
+    enc, pi, mask = taco2_fused_encode(model, variables, text, text_lengths,
+                                       compute_dtype=compute_dtype,
+                                       interpret=interpret)
 
     if packed is None:
         packed = pack_decoder_params(variables["params"],
