@@ -17,11 +17,22 @@ from tts_tpu.audio import dsp
 Array = jnp.ndarray
 
 
+def _stft_mag(y: Array, n_fft: int, hop: int, win: int) -> Array:
+    """|STFT|: Pallas fused windowed-DFT on TPU (one kernel, complex spectrum
+    never materialized), jnp.fft elsewhere."""
+    import jax
+
+    if jax.default_backend() != "cpu":
+        from tts_tpu.ops.pallas.stft_kernel import stft_magnitude
+        return stft_magnitude(y, n_fft, hop, win)
+    return jnp.abs(dsp.stft(y, n_fft, hop, win))
+
+
 def stft_loss(y_hat: Array, y: Array, n_fft: int, hop_length: int,
               win_length: int) -> Tuple[Array, Array]:
     """(spectral-convergence, log-magnitude L1) (≙ STFTLoss, losses.py:36-52)."""
-    mag_hat = jnp.abs(dsp.stft(y_hat, n_fft, hop_length, win_length))
-    mag = jnp.abs(dsp.stft(y, n_fft, hop_length, win_length))
+    mag_hat = _stft_mag(y_hat, n_fft, hop_length, win_length)
+    mag = _stft_mag(y, n_fft, hop_length, win_length)
     mag_hat = jnp.clip(mag_hat, 1e-7, None)
     mag = jnp.clip(mag, 1e-7, None)
     sc = jnp.linalg.norm(mag - mag_hat) / jnp.maximum(jnp.linalg.norm(mag), 1e-7)

@@ -1,0 +1,117 @@
+"""Pallas TPU kernel: fused windowed-DFT STFT magnitude.
+
+The spectral losses (≙ TorchSTFT + STFTLoss,
+/root/reference/TTS/vocoder/layers/losses.py:7-52) need |STFT| only. XLA's
+FFT op on TPU is a poor fit for these sizes; on the MXU a real DFT is two
+matmuls against precomputed window-folded cosine/sine banks. This kernel
+fuses window * DFT(re,im) * sqrt(re^2+im^2) over frame tiles — the complex
+spectrum is never materialized in HBM.
+
+Numerics match jnp.fft.rfft-based dsp.stft magnitudes
+(tests/test_stft_kernel.py). Gradients flow via a straightforward
+custom_vjp (the DFT is linear; d|z| = (re*dre + im*dim)/|z|).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tts_tpu.audio import mel as _mel
+
+_EPS = 1e-12
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_banks(n_fft: int, win_length: int):
+    """Window-folded real-DFT banks (n_fft, n_fft//2+1), float32 numpy."""
+    window = _mel.pad_center(_mel.hann_window(win_length), n_fft)
+    k = np.arange(n_fft)[:, None]
+    f = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * k * f / n_fft
+    wr = (np.cos(ang) * window[:, None]).astype(np.float32)
+    wi = (-np.sin(ang) * window[:, None]).astype(np.float32)
+    return wr, wi
+
+
+def _mag_kernel(fr_ref, wr_ref, wi_ref, out_ref):
+    frames = fr_ref[:]
+    re = jnp.dot(frames, wr_ref[:], preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, wi_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.sqrt(re * re + im * im + _EPS)
+
+
+def _frames(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """(..., T) -> (..., n_frames, n_fft) with librosa center/reflect pad."""
+    pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+    y = jnp.pad(y, pad, mode="reflect")
+    n_frames = 1 + (y.shape[-1] - n_fft) // hop
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    return y[..., idx]
+
+
+def _mag_fwd(frames2d: jnp.ndarray, wr: jnp.ndarray, wi: jnp.ndarray,
+             tile: int, interpret: bool) -> jnp.ndarray:
+    N, n_fft = frames2d.shape
+    bins = wr.shape[1]
+    grid = (pl.cdiv(N, tile),)
+    return pl.pallas_call(
+        _mag_kernel,
+        out_shape=jax.ShapeDtypeStruct((N, bins), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, n_fft), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, bins), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, bins), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, bins), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(frames2d, wr, wi)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _stft_mag_frames(frames2d, n_fft, win_length, tile, interpret):
+    wr, wi = _dft_banks(n_fft, win_length)
+    return _mag_fwd(frames2d, jnp.asarray(wr), jnp.asarray(wi), tile,
+                    interpret)
+
+
+def _stft_mag_frames_fwd(frames2d, n_fft, win_length, tile, interpret):
+    mag = _stft_mag_frames(frames2d, n_fft, win_length, tile, interpret)
+    return mag, (frames2d, mag)
+
+
+def _stft_mag_frames_bwd(n_fft, win_length, tile, interpret, res, g):
+    frames2d, mag = res
+    wr, wi = _dft_banks(n_fft, win_length)
+    wr, wi = jnp.asarray(wr), jnp.asarray(wi)
+    # recompute re/im (cheap matmuls; avoids storing the complex spectrum)
+    re = frames2d @ wr
+    im = frames2d @ wi
+    scale = g / jnp.maximum(mag, 1e-7)
+    dframes = (scale * re) @ wr.T + (scale * im) @ wi.T
+    return (dframes,)
+
+
+_stft_mag_frames.defvjp(_stft_mag_frames_fwd, _stft_mag_frames_bwd)
+
+
+def stft_magnitude(y: jnp.ndarray, n_fft: int, hop_length: int,
+                   win_length: int, tile: int = 256,
+                   interpret: bool = False) -> jnp.ndarray:
+    """|STFT(y)|: (..., T) -> (..., n_frames, n_fft//2+1), fused on TPU."""
+    frames = _frames(y, n_fft, hop_length)
+    lead = frames.shape[:-1]
+    flat = frames.reshape(-1, n_fft)
+    tile = min(tile, max(8, flat.shape[0]))
+    mag = _stft_mag_frames(flat, n_fft, win_length, tile, interpret)
+    return mag.reshape(lead + (mag.shape[-1],))
