@@ -48,23 +48,26 @@ def build_pipeline(batch=64, t_text=128, steps=124, r=2):
     voc_plain = voc.clone(use_weight_norm=False)
 
     from tts_tpu.infer.fast_decode import taco2_fused_inference
-    from tts_tpu.models.vocoder.serving import fused_generator_apply
+    from tts_tpu.ops.pallas.fused_melgan import (megakernel_generator_apply,
+                                                 pack_generator_params)
+    voc_packed = pack_generator_params(voc_plain, voc_params)
 
     @jax.jit
-    def synthesize(taco_vars, packed, voc_params, text, text_len):
+    def synthesize(taco_vars, packed, voc_packed, text, text_len):
         # Pallas whole-decode kernel (bf16, weights VMEM-resident) + fused
         # BiLSTM encoder; numerics match the flax scan decode at eval
         out = taco2_fused_inference(taco, taco_vars, text, text_len,
                                     max_decoder_steps=steps, packed=packed)
         mel = out["postnet_outputs"].astype(jnp.float32)
-        # Pallas fused residual stacks + polyphase PQMF serving path
-        sub = fused_generator_apply(voc_plain, voc_params, mel)
+        # whole-generator Pallas megakernel (one kernel: proj/upsamples/
+        # stacks, VMEM-resident) + polyphase PQMF synthesis
+        sub = megakernel_generator_apply(voc_plain, voc_packed, mel)
         wav = voc_plain.pqmf.synthesis(sub)
         # scalar checksum: fetched once after the loop; forces full
         # materialization while letting tunnel RTT amortize out
         return wav.shape[1], wav.sum()
 
-    return synthesize, (taco_vars, packed, voc_params, text, text_len)
+    return synthesize, (taco_vars, packed, voc_packed, text, text_len)
 
 
 def main():

@@ -25,6 +25,11 @@ from tts_tpu.train.checkpoint import load_checkpoint
 _SENTENCE_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z\"'(])|(?<=[.!?])$")
 
 
+def _megakernel_ok(gen, t_frames: int) -> bool:
+    from tts_tpu.ops.pallas.fused_melgan import megakernel_supported
+    return megakernel_supported(gen, t_frames)
+
+
 def split_into_sentences(text: str) -> List[str]:
     """Regex sentence segmentation (pysbd-free ≙ synthesizer.py:129-133)."""
     parts = [s.strip() for s in _SENTENCE_RE.split(text.strip())]
@@ -67,6 +72,18 @@ class Synthesizer:
                     use_weight_norm=False)
             self.vocoder_variables = {"params": params}
             self.vocoder_ap = AudioProcessor(**self.vocoder_config.audio)
+            # pack once for the whole-generator Pallas megakernel (the
+            # fastest serving path; ops/pallas/fused_melgan.py)
+            self._megakernel_packed = None
+            from tts_tpu.models.vocoder.melgan import MelganGenerator
+            if (isinstance(self.vocoder_model, MelganGenerator)
+                    and not self.vocoder_model.use_weight_norm
+                    and not any(f % 2
+                                for f in self.vocoder_model.upsample_factors)):
+                from tts_tpu.ops.pallas.fused_melgan import \
+                    pack_generator_params
+                self._megakernel_packed = pack_generator_params(
+                    self.vocoder_model, params)
 
     def _vocode(self, mel_norm: np.ndarray) -> np.ndarray:
         """Normalized mel -> waveform through the GAN vocoder
@@ -76,7 +93,11 @@ class Synthesizer:
 
         mel = jnp.asarray(mel_norm)[None]
         gen = self.vocoder_model
-        if (isinstance(gen, MelganGenerator)
+        if (getattr(self, "_megakernel_packed", None) is not None
+                and _megakernel_ok(gen, mel.shape[1])):
+            from tts_tpu.ops.pallas.fused_melgan import megakernel_inference
+            wav = megakernel_inference(gen, self._megakernel_packed, mel)
+        elif (isinstance(gen, MelganGenerator)
                 and not getattr(gen, "use_weight_norm", True)):
             from tts_tpu.models.vocoder.serving import fused_inference
             wav = fused_inference(gen, self.vocoder_variables["params"], mel)

@@ -1,0 +1,409 @@
+"""Pallas TPU megakernel: the ENTIRE MelGAN-family generator in one kernel.
+
+The fused serving path (models/vocoder/serving.py) already runs each
+residual stack as one Pallas kernel, but between stages the upsample
+transposed-convs and the proj_in/proj_out heads run as XLA convs — each a
+full HBM round trip over activations that grow to ~200 MB per batch at the
+final rate (measured ~1.7 ms upsamples + ~0.4 ms proj_out of the 6.0 ms
+batch-64 Multiband-MelGAN forward). This kernel runs proj_in, every
+[upsample -> residual stack] stage, and the proj_out head for one batch item
+with ALL weights and activations VMEM-resident (v5e VMEM is 128 MB; the
+whole generator is <4 MB of weights and <12 MB of peak activations at
+T_mel=252): one HBM read of the mel, one write of the waveform/subbands.
+
+Upsampling runs as a POLYPHASE matmul instead of a transposed conv: for
+stride f and kernel 2f (the MelGAN geometry, ≙ reference
+melgan_generator.py:47-53 ConvTranspose1d(2*f, stride=f)), output phase p of
+frame u taps exactly two inputs {x[u-1], x[u]} (p < f/2) or {x[u], x[u+1]}
+(p >= f/2) — derived from lax.conv_transpose SAME padding pad_a = 3f/2 - 1.
+Phases pack into two dense (f/2*C_out, 2C_in) matmuls with zero wasted MACs.
+
+Layout — PHASE-BLOCK lanes: Mosaic cannot lane-interleave (C, T, f) ->
+(C, T*f), so activations never hold true time order inside the kernel.
+A stage running at P phases above the mel frame rate is stored (C, P*T0)
+with lane index = block*T0 + frame; a static table sigma maps storage block
+-> true phase. Upsample outputs assemble by lane-concatenating the per-phase
+sublane slices of the matmul result (sigma composes as
+sigma'[q*P + p] = sigma[p]*f + q); true-time shifts for the dilated/proj
+convs become per-block gathers with edge columns resolved through sigma.
+The single phase->time interleave happens ONCE, outside the kernel, as an
+XLA gather+transpose over the final (B, C_out, P, T0).
+
+Exactness: element-wise identical (up to matmul precision) to
+``generator.apply`` on the folded (use_weight_norm=False) params —
+tests/test_fused_melgan.py. Reference semantics:
+/root/reference/TTS/vocoder/models/melgan_generator.py:30-70.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tts_tpu.ops.pallas.fused_resstack import _leaky, pack_stack_params
+
+Array = jnp.ndarray
+
+
+def compose_phase_order(sigma: Tuple[int, ...], factor: int) -> Tuple[int, ...]:
+    """Storage-block -> true-phase table after an upsample by ``factor``."""
+    return tuple(sigma[p] * factor + q
+                 for q in range(factor) for p in range(len(sigma)))
+
+
+def phase_order(factors: Sequence[int]) -> Tuple[int, ...]:
+    sigma: Tuple[int, ...] = (0,)
+    for f in factors:
+        sigma = compose_phase_order(sigma, f)
+    return sigma
+
+
+def _true_shift(x: Array, sigma: Tuple[int, ...], t0: int, d: int,
+                direction: int, mode: str) -> Array:
+    """Phase-block true-time shift: result[(j, u)] = X_true[tau - d]
+    (direction=+1) or X_true[tau + d] (direction=-1), where
+    tau = u*P + sigma[j] and X_true is the signal x represents.
+
+    mode "reflect" follows torch ReflectionPad1d (x[-k] = x[k],
+    x[L-1+k] = x[L-1-k]); mode "zero" zero-fills (transposed-conv edges).
+    """
+    P = len(sigma)
+    L = P * t0
+    inv = {phase: j for j, phase in enumerate(sigma)}
+    col = lambda t: x[:, inv[t % P] * t0 + t // P][:, None]
+    blocks = []
+    for j in range(P):
+        phi = sigma[j]
+        if direction > 0:
+            psi = phi - d
+            src = inv[psi % P] * t0
+            s = -(psi // P)  # frames lost at the left edge (>= 0)
+            body = x[:, src:src + t0 - s]
+            if s == 0:
+                blocks.append(body)
+                continue
+            if mode == "zero":
+                edge = [jnp.zeros((x.shape[0], s), x.dtype)]
+            else:
+                edge = [col(d - (u * P + phi)) for u in range(s)]
+            blocks.append(jnp.concatenate(edge + [body], axis=1))
+        else:
+            psi = phi + d
+            src = inv[psi % P] * t0
+            c = psi // P  # frames lost at the right edge (>= 0)
+            body = x[:, src + c:src + t0]
+            if c == 0:
+                blocks.append(body)
+                continue
+            if mode == "zero":
+                edge = [jnp.zeros((x.shape[0], c), x.dtype)]
+            else:
+                edge = [col(2 * (L - 1) - ((u * P + phi) + d))
+                        for u in range(t0 - c, t0)]
+            blocks.append(jnp.concatenate([body] + edge, axis=1))
+    return jnp.concatenate(blocks, axis=1)
+
+
+def pack_upsample_params(kernel: Array, factor: int, dtype=jnp.float32):
+    """Split a flax ConvTranspose kernel (2f, C_in, C_out) into the two dense
+    polyphase matmul weights.
+
+    Output phase p of frame u reads tap j = delta*f + (3f/2 - 1) - p of the
+    kernel at input x[u + delta]; j in [0, 2f) admits delta in {-1, 0} for
+    p < f/2 and {0, +1} for p >= f/2 (f even).
+
+    Returns (wa, wb): wa (f/2*C_out, 2C_in) with operand rows [x[u-1]; x[u]]
+    for phases 0..f/2-1; wb likewise over [x[u]; x[u+1]] for f/2..f-1.
+    """
+    f = factor
+    assert f % 2 == 0 and kernel.shape[0] == 2 * f, (f, kernel.shape)
+    pad_a = 3 * f // 2 - 1
+    k = np.asarray(kernel)
+    rows_a, rows_b = [], []
+    for p in range(f // 2):
+        rows_a.append(np.concatenate(
+            [k[-f + pad_a - p].T, k[pad_a - p].T], axis=1))   # [x[u-1]; x[u]]
+    for p in range(f // 2, f):
+        rows_b.append(np.concatenate(
+            [k[pad_a - p].T, k[f + pad_a - p].T], axis=1))    # [x[u]; x[u+1]]
+    wa = jnp.asarray(np.concatenate(rows_a, axis=0), dtype)
+    wb = jnp.asarray(np.concatenate(rows_b, axis=0), dtype)
+    return wa, wb
+
+
+def pack_proj_params(kernel: Array, dtype=jnp.float32) -> Array:
+    """Flax conv kernel (k, C_in, C_out) -> (C_out, k*C_in) matmul weight over
+    the concatenated taps [x[t-(k//2)]; ...; x[t+(k//2)]]."""
+    k = np.asarray(kernel)
+    return jnp.asarray(
+        np.concatenate([k[j].T for j in range(k.shape[0])], axis=1), dtype)
+
+
+def pack_pqmf_synthesis_params(pqmf, dtype=jnp.float32):
+    """PQMF polyphase synthesis (models/vocoder/pqmf.py:101-108) as one
+    matmul: W (N phases, J*N) over the concat of the J true-time-shifted
+    subband copies (tap j reads sub[t + j - q], zero-padded edges)."""
+    syn = np.asarray(pqmf._syn_poly)              # (J, subband c, phase p)
+    J, N, _ = syn.shape
+    w = np.transpose(syn, (2, 0, 1)).reshape(N, J * N)   # [p, j*N + c]
+    return jnp.asarray(w, dtype), int(pqmf._syn_pad[0])
+
+
+def pack_generator_params(gen, params: Dict[str, Any], dtype=jnp.float32,
+                          fuse_pqmf: bool = False):
+    """Pack a FOLDED (use_weight_norm=False) MelGAN-family generator params
+    tree into the megakernel's flat operand tuple. When the generator is
+    multiband and ``fuse_pqmf``, the PQMF synthesis matmul is appended and
+    runs inside the kernel."""
+    ops = [pack_proj_params(params["proj_in"]["conv"]["kernel"], dtype),
+           jnp.asarray(params["proj_in"]["conv"]["bias"], dtype)]
+    for i, factor in enumerate(gen.upsample_factors):
+        up = params[f"upsample_{i}"]
+        wa, wb = pack_upsample_params(up["kernel"], factor, dtype)
+        ops += [wa, wb, jnp.asarray(up["bias"], dtype)]
+        ops += list(pack_stack_params(params[f"resstack_{i}"],
+                                      gen.num_res_blocks, dtype))
+    ops += [pack_proj_params(params["proj_out"]["conv"]["kernel"], dtype),
+            jnp.asarray(params["proj_out"]["conv"]["bias"], dtype)]
+    if fuse_pqmf and getattr(gen, "pqmf", None) is not None \
+            and gen.out_channels > 1:
+        w, _ = pack_pqmf_synthesis_params(gen.pqmf, dtype)
+        ops.append(w)
+    return tuple(ops)
+
+
+def _conv_head(x, sigma, t0, w, b, k: int, compute_dtype):
+    """k-tap reflect-padded conv as one matmul: operand is the concat of the
+    k true-time-shifted copies (tap delta = j - k//2)."""
+    half = k // 2
+    taps = [_true_shift(x, sigma, t0, half - j, +1, "reflect")
+            for j in range(half)]
+    taps += [x]
+    taps += [_true_shift(x, sigma, t0, j, -1, "reflect")
+             for j in range(1, half + 1)]
+    cat = jnp.concatenate(taps, axis=0)                  # (k*C, P*t0)
+    return (jnp.dot(w[...].astype(compute_dtype), cat,
+                    preferred_element_type=jnp.float32)
+            + b[...].astype(jnp.float32)[:, None])
+
+
+def _upsample_body(x, sigma, t0, wa, wb, bias, factor: int,
+                   negative_slope: float, compute_dtype):
+    """leaky -> polyphase transposed conv: (C_in, P*t0) -> (C_out, P*f*t0)
+    with the new storage order sigma' = compose_phase_order(sigma, f)."""
+    f = factor
+    y = _leaky(x, negative_slope)
+    ym = _true_shift(y, sigma, t0, 1, +1, "zero")        # x[v-1]
+    yp = _true_shift(y, sigma, t0, 1, -1, "zero")        # x[v+1]
+    a = jnp.concatenate([ym, y], axis=0)                 # (2C_in, P*t0)
+    b_ = jnp.concatenate([y, yp], axis=0)
+    ra = (jnp.dot(wa[...].astype(compute_dtype), a,
+                  preferred_element_type=jnp.float32)
+          )                                              # (f/2*C_out, P*t0)
+    rb = jnp.dot(wb[...].astype(compute_dtype), b_,
+                 preferred_element_type=jnp.float32)
+    c_out = 2 * ra.shape[0] // f
+    bias_col = bias[...].astype(jnp.float32)[:, None]
+    pieces = [ra[q * c_out:(q + 1) * c_out] + bias_col
+              for q in range(f // 2)]
+    pieces += [rb[q * c_out:(q + 1) * c_out] + bias_col
+               for q in range(f // 2)]
+    out = jnp.concatenate(pieces, axis=1).astype(compute_dtype)
+    return out, compose_phase_order(sigma, f)
+
+
+def _stack_body_pb(x, sigma, t0, w1, b1, w2, bout, num_blocks: int,
+                   kernel_size: int, negative_slope: float, compute_dtype):
+    """Residual stack on a phase-block (C, P*t0) value (same matmuls as
+    fused_resstack.stack_body; shifts resolved through sigma)."""
+    for blk in range(num_blocks):
+        d = kernel_size ** blk
+        y = _leaky(x, negative_slope)
+        ym = _true_shift(y, sigma, t0, d, +1, "reflect")
+        yp = _true_shift(y, sigma, t0, d, -1, "reflect")
+        cat1 = jnp.concatenate([ym, y, yp], axis=0)      # (3C, P*t0)
+        h = (jnp.dot(w1[blk].astype(compute_dtype), cat1,
+                     preferred_element_type=jnp.float32)
+             + b1[blk].astype(jnp.float32)[:, None])
+        cat2 = jnp.concatenate([_leaky(h, negative_slope).astype(compute_dtype),
+                                x], axis=0)              # (2C, P*t0)
+        x = (jnp.dot(w2[blk].astype(compute_dtype), cat2,
+                     preferred_element_type=jnp.float32)
+             + bout[blk].astype(jnp.float32)[:, None]
+             ).astype(compute_dtype)
+    return x
+
+
+def _pqmf_tail(sub, sigma, t0, w_ref, j_taps: int, q: int, compute_dtype):
+    """In-kernel PQMF polyphase synthesis: wav phase block (N, P*t0) from the
+    tanh'd subbands. phases[t] = sum_j syn[j] @ sub[t + j - q] (zero edges)."""
+    taps = []
+    for j in range(j_taps):
+        s = j - q
+        if s < 0:
+            taps.append(_true_shift(sub, sigma, t0, -s, +1, "zero"))
+        elif s > 0:
+            taps.append(_true_shift(sub, sigma, t0, s, -1, "zero"))
+        else:
+            taps.append(sub)
+    cat = jnp.concatenate(taps, axis=0)           # (J*N, P*t0)
+    return jnp.dot(w_ref[...].astype(compute_dtype), cat,
+                   preferred_element_type=jnp.float32)
+
+
+def _make_generator_kernel(factors: Sequence[int], num_res_blocks: int,
+                           proj_kernel: int, t0: int, stack_kernel_size: int,
+                           negative_slope: float, compute_dtype,
+                           pqmf_taps: int = 0, pqmf_q: int = 0):
+    n_stage = len(factors)
+
+    def kernel(mel_ref, *refs):
+        w_refs, out_ref = refs[:-1], refs[-1]
+        x = jnp.transpose(mel_ref[0]).astype(compute_dtype)  # (80, t0)
+        sigma: Tuple[int, ...] = (0,)
+        x = _conv_head(x, sigma, t0, w_refs[0], w_refs[1], proj_kernel,
+                       compute_dtype).astype(compute_dtype)
+        idx = 2
+        for i in range(n_stage):
+            wa, wb, ub = w_refs[idx], w_refs[idx + 1], w_refs[idx + 2]
+            w1, b1, w2, bout = w_refs[idx + 3:idx + 7]
+            idx += 7
+            x, sigma = _upsample_body(x, sigma, t0, wa, wb, ub, factors[i],
+                                      negative_slope, compute_dtype)
+            x = _stack_body_pb(x, sigma, t0, w1, b1, w2, bout, num_res_blocks,
+                               stack_kernel_size, negative_slope,
+                               compute_dtype)
+        y = _leaky(x, negative_slope)
+        y = _conv_head(y, sigma, t0, w_refs[idx], w_refs[idx + 1], proj_kernel,
+                       compute_dtype)
+        y = jnp.tanh(y)
+        if pqmf_taps:
+            y = _pqmf_tail(y.astype(compute_dtype), sigma, t0,
+                           w_refs[idx + 2], pqmf_taps, pqmf_q, compute_dtype)
+        out_ref[0] = y.astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("factors", "num_res_blocks", "proj_kernel",
+                              "out_channels", "stack_kernel_size",
+                              "negative_slope", "compute_dtype", "pqmf_taps",
+                              "pqmf_q", "interpret"))
+def _fused_generator(mel: Array, weights, factors, num_res_blocks: int,
+                     proj_kernel: int, out_channels: int,
+                     stack_kernel_size: int = 3, negative_slope: float = 0.2,
+                     compute_dtype=jnp.float32, pqmf_taps: int = 0,
+                     pqmf_q: int = 0, interpret: bool = False) -> Array:
+    """mel (B, T, n_mels) -> (B, out_channels, P*T) in PHASE-BLOCK lane
+    order (storage block j = true phase phase_order(factors)[j]); callers
+    un-permute with ``to_true_time``. With ``pqmf_taps`` the output channels
+    are the N wav phases of the in-kernel PQMF synthesis instead of the
+    subbands (true wav index = (u*P + sigma[j])*N + p)."""
+    B, T, _ = mel.shape
+    t_out = T * int(np.prod(factors))
+    full = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_generator_kernel(tuple(factors), num_res_blocks, proj_kernel,
+                               T, stack_kernel_size, negative_slope,
+                               compute_dtype, pqmf_taps=pqmf_taps,
+                               pqmf_q=pqmf_q),
+        out_shape=jax.ShapeDtypeStruct((B, out_channels, t_out), mel.dtype),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, T, mel.shape[2]), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [full(w) for w in weights],
+        out_specs=pl.BlockSpec((1, out_channels, t_out), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(mel, *weights)
+
+
+def to_true_time(pb: Array, factors: Sequence[int]) -> Array:
+    """(B, C, P*T0) phase-block -> (B, T0*P, C) true-time NWC. One XLA
+    gather+transpose pass (the only relayout left outside the kernel)."""
+    sigma = phase_order(factors)
+    P = len(sigma)
+    B, C, L = pb.shape
+    t0 = L // P
+    blocks = pb.reshape(B, C, P, t0)
+    inv = np.argsort(np.asarray(sigma))           # true phase -> storage block
+    blocks = blocks[:, :, inv, :]                 # (B, C, P_true, t0)
+    wav = jnp.transpose(blocks, (0, 3, 2, 1))     # (B, t0, P, C)
+    return wav.reshape(B, t0 * P, C)
+
+
+def _packed_has_pqmf(gen, packed) -> bool:
+    # the packed tuple carries the PQMF matmul iff it has one extra operand
+    return len(packed) == 4 + 7 * len(gen.upsample_factors) + 1
+
+
+def megakernel_generator_apply(gen, packed, c: Array, compute_dtype=None,
+                               interpret: bool = False) -> Array:
+    """Whole-generator forward from ``pack_generator_params`` output.
+    Returns true-time NWC (B, T*prod(factors), out_channels) subbands, or
+    (B, T*prod(factors)*N, 1) waveform when the packed tuple carries the
+    fused PQMF synthesis matmul."""
+    if _packed_has_pqmf(gen, packed):
+        pqmf = gen.pqmf
+        _, q = pack_pqmf_synthesis_params(pqmf)
+        taps = int(np.asarray(pqmf._syn_poly).shape[0])
+        pb = _fused_generator(
+            c, packed, factors=tuple(gen.upsample_factors),
+            num_res_blocks=gen.num_res_blocks, proj_kernel=gen.proj_kernel,
+            out_channels=pqmf.N, compute_dtype=compute_dtype or jnp.float32,
+            pqmf_taps=taps, pqmf_q=q, interpret=interpret)
+        wav = to_true_time(pb, gen.upsample_factors)   # (B, L, N phases)
+        B, L, N = wav.shape
+        return wav.reshape(B, L * N, 1)
+    pb = _fused_generator(
+        c, packed, factors=tuple(gen.upsample_factors),
+        num_res_blocks=gen.num_res_blocks, proj_kernel=gen.proj_kernel,
+        out_channels=gen.out_channels,
+        compute_dtype=compute_dtype or jnp.float32, interpret=interpret)
+    return to_true_time(pb, gen.upsample_factors)
+
+
+def megakernel_supported(gen, t_frames: int) -> bool:
+    """True when the whole-generator kernel applies: even upsample factors
+    (the 2-tap polyphase derivation needs f even; MelGAN geometry always is)
+    and a per-item time axis whose peak VMEM working set fits comfortably.
+
+    Peak live set ~= a handful of (k*C_last, T_total) fp32 operands; cap
+    T_total so that stays well under the 120 MB VMEM limit."""
+    factors = tuple(gen.upsample_factors)
+    if any(f % 2 for f in factors):
+        return False
+    t_total = (t_frames + 2 * gen.inference_padding) * int(np.prod(factors))
+    c_last = gen.base_channels >> len(factors)
+    # ~10 concurrent (C_last-scale, T_total) fp32 buffers + proj_out operand
+    peak = 4 * t_total * (10 * max(c_last, gen.out_channels)
+                          + gen.proj_kernel * c_last)
+    return peak < 80 * 1024 * 1024
+
+
+def megakernel_inference(gen, packed, c: Array, compute_dtype=None,
+                         interpret: bool = False) -> Array:
+    """Full serving entry: inference padding + megakernel forward + PQMF
+    synthesis (in-kernel when packed with ``fuse_pqmf``) for multiband
+    generators. Returns NWC waveform."""
+    p = gen.inference_padding
+    if p:
+        c = jnp.pad(c, ((0, 0), (p, p), (0, 0)), mode="edge")
+    out = megakernel_generator_apply(gen, packed, c,
+                                     compute_dtype=compute_dtype,
+                                     interpret=interpret)
+    pqmf = getattr(gen, "pqmf", None)
+    if (pqmf is not None and gen.out_channels > 1
+            and not _packed_has_pqmf(gen, packed)):
+        out = pqmf.synthesis(out)
+    return out

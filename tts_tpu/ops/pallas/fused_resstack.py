@@ -48,37 +48,48 @@ def _shift_reflect_lanes(y: jnp.ndarray, d: int, direction: int) -> jnp.ndarray:
     return jnp.concatenate([y[:, d:]] + edge, axis=1)
 
 
+def _leaky(v, negative_slope):
+    # max(x, a*x) == leaky_relu for a < 1; avoids bf16 comparisons
+    # (unsupported VPU op on v5e)
+    return jnp.maximum(v, negative_slope * v)
+
+
+def stack_body(x, w1, b1, w2, bout, num_blocks: int, kernel_size: int,
+               negative_slope: float, compute_dtype):
+    """Residual-stack compute on a (C, T) VMEM value. ``w1``/``b1``/``w2``/
+    ``bout`` are indexable per-block (stacked array or Pallas ref). Shared by
+    the standalone stack kernel and the whole-generator megakernel
+    (fused_melgan.py)."""
+    for blk in range(num_blocks):
+        d = kernel_size ** blk
+        y = _leaky(x, negative_slope)
+        ym = _shift_reflect_lanes(y, d, +1)
+        yp = _shift_reflect_lanes(y, d, -1)
+        cat1 = jnp.concatenate([ym, y, yp], axis=0)        # (3C, T)
+        h = (jnp.dot(w1[blk].astype(compute_dtype), cat1,
+                     preferred_element_type=jnp.float32)
+             + b1[blk].astype(jnp.float32)[:, None])
+        # conv2 and the 1x1 shortcut share one dense matmul over
+        # [leaky(h); x] — exactly the logical MAC count
+        cat2 = jnp.concatenate([_leaky(h, negative_slope).astype(compute_dtype),
+                                x], axis=0)                # (2C, T)
+        x = (jnp.dot(w2[blk].astype(compute_dtype), cat2,
+                     preferred_element_type=jnp.float32)
+             + bout[blk].astype(jnp.float32)[:, None]
+             ).astype(compute_dtype)
+    return x
+
+
 def _make_kernel(num_blocks: int, kernel_size: int, negative_slope: float,
                  compute_dtype, transpose_in_kernel: bool):
-    def leaky(v):
-        # max(x, a*x) == leaky_relu for a < 1; avoids bf16 comparisons
-        # (unsupported VPU op on v5e)
-        return jnp.maximum(v, negative_slope * v)
-
     def kernel(x_ref, w1_ref, b1_ref, w2_ref, bout_ref, out_ref):
         if transpose_in_kernel:
             xt = jnp.transpose(x_ref[0])  # (T, C) block -> (C, T) in VMEM
         else:
             xt = x_ref[0]  # (C, T) — input pre-transposed by the wrapper
-        x = xt.astype(compute_dtype)
-        C = x.shape[0]
-        for blk in range(num_blocks):
-            d = kernel_size ** blk
-            y = leaky(x)
-            ym = _shift_reflect_lanes(y, d, +1)
-            yp = _shift_reflect_lanes(y, d, -1)
-            cat1 = jnp.concatenate([ym, y, yp], axis=0)        # (3C, T)
-            h = (jnp.dot(w1_ref[blk].astype(compute_dtype), cat1,
-                         preferred_element_type=jnp.float32)
-                 + b1_ref[blk].astype(jnp.float32)[:, None])
-            # conv2 and the 1x1 shortcut share one dense matmul over
-            # [leaky(h); x] — exactly the logical MAC count
-            cat2 = jnp.concatenate([leaky(h).astype(compute_dtype), x],
-                                   axis=0)                     # (2C, T)
-            x = (jnp.dot(w2_ref[blk].astype(compute_dtype), cat2,
-                         preferred_element_type=jnp.float32)
-                 + bout_ref[blk].astype(jnp.float32)[:, None]
-                 ).astype(compute_dtype)
+        x = stack_body(xt.astype(compute_dtype), w1_ref, b1_ref, w2_ref,
+                       bout_ref, num_blocks, kernel_size, negative_slope,
+                       compute_dtype)
         if transpose_in_kernel:
             out_ref[0] = jnp.transpose(x).astype(out_ref.dtype)
         else:
