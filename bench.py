@@ -50,7 +50,7 @@ def build_pipeline(batch=64, t_text=128, steps=124, r=2):
     from tts_tpu.infer.fast_decode import taco2_fused_inference
     from tts_tpu.ops.pallas.fused_melgan import (megakernel_generator_apply,
                                                  pack_generator_params)
-    voc_packed = pack_generator_params(voc_plain, voc_params)
+    voc_packed = pack_generator_params(voc_plain, voc_params, fuse_pqmf=True)
 
     @jax.jit
     def synthesize(taco_vars, packed, voc_packed, text, text_len):
@@ -60,9 +60,8 @@ def build_pipeline(batch=64, t_text=128, steps=124, r=2):
                                     max_decoder_steps=steps, packed=packed)
         mel = out["postnet_outputs"].astype(jnp.float32)
         # whole-generator Pallas megakernel (one kernel: proj/upsamples/
-        # stacks, VMEM-resident) + polyphase PQMF synthesis
-        sub = megakernel_generator_apply(voc_plain, voc_packed, mel)
-        wav = voc_plain.pqmf.synthesis(sub)
+        # stacks/PQMF synthesis, VMEM-resident) -> waveform
+        wav = megakernel_generator_apply(voc_plain, voc_packed, mel)
         # scalar checksum: fetched once after the loop; forces full
         # materialization while letting tunnel RTT amortize out
         return wav.shape[1], wav.sum()

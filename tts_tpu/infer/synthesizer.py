@@ -83,7 +83,7 @@ class Synthesizer:
                 from tts_tpu.ops.pallas.fused_melgan import \
                     pack_generator_params
                 self._megakernel_packed = pack_generator_params(
-                    self.vocoder_model, params)
+                    self.vocoder_model, params, fuse_pqmf=True)
 
     def _vocode(self, mel_norm: np.ndarray) -> np.ndarray:
         """Normalized mel -> waveform through the GAN vocoder

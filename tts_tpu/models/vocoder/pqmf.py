@@ -44,9 +44,13 @@ class PQMF:
             H[k] = 2 * h_proto * np.cos(phase + (-1) ** k * np.pi / 4)
             G[k] = 2 * h_proto * np.cos(phase - (-1) ** k * np.pi / 4)
         # full-rate kernels (kept for the direct/reference path):
-        # analysis (taps+1, in=1, out=N); synthesis (taps+1, N, 1)
-        self.analysis_kernel = jnp.asarray(H.T[:, None, :], jnp.float32)
-        self.synthesis_kernel = jnp.asarray(G.T[:, :, None], jnp.float32) * N
+        # analysis (taps+1, in=1, out=N); synthesis (taps+1, N, 1).
+        # All kernels are PLAIN NUMPY: jnp ops lift numpy operands, and a
+        # numpy-only __init__ means constructing a PQMF inside a jit trace
+        # (e.g. via the MultibandMelganGenerator.pqmf property) never
+        # creates tracers that leak into np.asarray conversions.
+        self.analysis_kernel = np.asarray(H.T[:, None, :], np.float32)
+        self.synthesis_kernel = np.asarray(G.T[:, :, None], np.float32) * N
         self.pad = taps // 2
         assert self.pad % N != 0 or True
         self._build_polyphase(H, G)
@@ -73,7 +77,7 @@ class PQMF:
                 k = N * j + rp
                 if k <= taps:
                     syn[j, :, p] = Ksyn[k, :]
-        self._syn_poly = jnp.asarray(syn)
+        self._syn_poly = syn
         self._syn_pad = (q, J - 1 - q)
 
         Kana = H.T  # (taps+1, N): tap k, out subband o
@@ -86,7 +90,7 @@ class PQMF:
                 k = N * u + pad + p
                 if 0 <= k <= taps:
                     ana[u - u_lo, p, :] = Kana[k, :]
-        self._ana_poly = jnp.asarray(ana)
+        self._ana_poly = ana
         self._ana_pad = (-u_lo, u_hi)
 
     def analysis(self, x: Array) -> Array:
