@@ -17,7 +17,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 from tts_tpu.models.glow_tts import GlowTTS
 from tts_tpu.models.vocoder.fold import fold_weight_norm
 from tts_tpu.models.vocoder.multiband_melgan import MultibandMelganGenerator
-from tts_tpu.models.vocoder.serving import fused_generator_apply
+from tts_tpu.ops.pallas.fused_melgan import (megakernel_generator_apply,
+                                             pack_generator_params)
 
 SR, HOP = 22050, 256
 B, T_TEXT, T_MEL = 64, 128, 248
@@ -39,28 +40,30 @@ def main():
     voc = MultibandMelganGenerator(upsample_factors=(2, 8, 2, 2))
     vv = voc.init(rng, jnp.zeros((2, T_MEL, 80)))
     vp = fold_weight_norm(vv["params"])
+    plain = voc.clone(use_weight_norm=False)
+    packed = pack_generator_params(plain, vp, fuse_pqmf=True)
 
     @jax.jit
-    def synthesize(gvars, vparams, text, text_len):
+    def synthesize(gvars, vpacked, text, text_len):
         out = glow.apply(gvars, text, text_len, noise_scale=0.33,
                          y_max_length=T_MEL,
                          rngs={"noise": jax.random.PRNGKey(1)},
                          method=GlowTTS.inference)
-        mel = out["model_outputs"]
-        sub = fused_generator_apply(voc, vparams, mel)
-        wav = voc.pqmf.synthesis(sub)
+        mel = out["model_outputs"].astype(jnp.float32)
+        # whole-generator Pallas megakernel with in-kernel PQMF synthesis
+        wav = megakernel_generator_apply(plain, vpacked, mel)
         return wav.shape[1], wav.sum()
 
-    n_samples, s = synthesize(gv, vp, text, text_len)
+    n_samples, s = synthesize(gv, packed, text, text_len)
     fence(s)
     iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
-        n_samples, s = synthesize(gv, vp, text, text_len)
+        n_samples, s = synthesize(gv, packed, text, text_len)
     fence(s)
     dt = (time.perf_counter() - t0) / iters
     audio_seconds = B * int(n_samples) / SR
-    print(f"glow+mbmelgan(fused): {dt*1e3:.3f} ms/batch -> "
+    print(f"glow+mbmelgan(megakernel): {dt*1e3:.3f} ms/batch -> "
           f"{audio_seconds/dt:.1f} audio_s/s per chip")
 
 
