@@ -178,9 +178,10 @@ def pack_generator_params(gen, params: Dict[str, Any], dtype=jnp.float32,
     return tuple(ops)
 
 
-def _conv_head(x, sigma, t0, w, b, k: int, compute_dtype):
+def _conv_head(x, sigma, t0, w, b, k: int, compute_dtype, matmul_dtype=None):
     """k-tap reflect-padded conv as one matmul: operand is the concat of the
     k true-time-shifted copies (tap delta = j - k//2)."""
+    md = matmul_dtype or compute_dtype
     half = k // 2
     taps = [_true_shift(x, sigma, t0, half - j, +1, "reflect")
             for j in range(half)]
@@ -188,25 +189,26 @@ def _conv_head(x, sigma, t0, w, b, k: int, compute_dtype):
     taps += [_true_shift(x, sigma, t0, j, -1, "reflect")
              for j in range(1, half + 1)]
     cat = jnp.concatenate(taps, axis=0)                  # (k*C, P*t0)
-    return (jnp.dot(w[...].astype(compute_dtype), cat,
+    return (jnp.dot(w[...].astype(md), cat.astype(md),
                     preferred_element_type=jnp.float32)
             + b[...].astype(jnp.float32)[:, None])
 
 
 def _upsample_body(x, sigma, t0, wa, wb, bias, factor: int,
-                   negative_slope: float, compute_dtype):
+                   negative_slope: float, compute_dtype, matmul_dtype=None):
     """leaky -> polyphase transposed conv: (C_in, P*t0) -> (C_out, P*f*t0)
     with the new storage order sigma' = compose_phase_order(sigma, f)."""
+    md = matmul_dtype or compute_dtype
     f = factor
     y = _leaky(x, negative_slope)
     ym = _true_shift(y, sigma, t0, 1, +1, "zero")        # x[v-1]
     yp = _true_shift(y, sigma, t0, 1, -1, "zero")        # x[v+1]
     a = jnp.concatenate([ym, y], axis=0)                 # (2C_in, P*t0)
     b_ = jnp.concatenate([y, yp], axis=0)
-    ra = (jnp.dot(wa[...].astype(compute_dtype), a,
+    ra = (jnp.dot(wa[...].astype(md), a.astype(md),
                   preferred_element_type=jnp.float32)
           )                                              # (f/2*C_out, P*t0)
-    rb = jnp.dot(wb[...].astype(compute_dtype), b_,
+    rb = jnp.dot(wb[...].astype(md), b_.astype(md),
                  preferred_element_type=jnp.float32)
     c_out = 2 * ra.shape[0] // f
     bias_col = bias[...].astype(jnp.float32)[:, None]
@@ -219,30 +221,34 @@ def _upsample_body(x, sigma, t0, wa, wb, bias, factor: int,
 
 
 def _stack_body_pb(x, sigma, t0, w1, b1, w2, bout, num_blocks: int,
-                   kernel_size: int, negative_slope: float, compute_dtype):
+                   kernel_size: int, negative_slope: float, compute_dtype,
+                   matmul_dtype=None):
     """Residual stack on a phase-block (C, P*t0) value (same matmuls as
     fused_resstack.stack_body; shifts resolved through sigma)."""
+    md = matmul_dtype or compute_dtype
     for blk in range(num_blocks):
         d = kernel_size ** blk
         y = _leaky(x, negative_slope)
         ym = _true_shift(y, sigma, t0, d, +1, "reflect")
         yp = _true_shift(y, sigma, t0, d, -1, "reflect")
         cat1 = jnp.concatenate([ym, y, yp], axis=0)      # (3C, P*t0)
-        h = (jnp.dot(w1[blk].astype(compute_dtype), cat1,
+        h = (jnp.dot(w1[blk].astype(md), cat1.astype(md),
                      preferred_element_type=jnp.float32)
              + b1[blk].astype(jnp.float32)[:, None])
         cat2 = jnp.concatenate([_leaky(h, negative_slope).astype(compute_dtype),
                                 x], axis=0)              # (2C, P*t0)
-        x = (jnp.dot(w2[blk].astype(compute_dtype), cat2,
+        x = (jnp.dot(w2[blk].astype(md), cat2.astype(md),
                      preferred_element_type=jnp.float32)
              + bout[blk].astype(jnp.float32)[:, None]
              ).astype(compute_dtype)
     return x
 
 
-def _pqmf_tail(sub, sigma, t0, w_ref, j_taps: int, q: int, compute_dtype):
+def _pqmf_tail(sub, sigma, t0, w_ref, j_taps: int, q: int, compute_dtype,
+               matmul_dtype=None):
     """In-kernel PQMF polyphase synthesis: wav phase block (N, P*t0) from the
     tanh'd subbands. phases[t] = sum_j syn[j] @ sub[t + j - q] (zero edges)."""
+    md = matmul_dtype or compute_dtype
     taps = []
     for j in range(j_taps):
         s = j - q
@@ -253,14 +259,15 @@ def _pqmf_tail(sub, sigma, t0, w_ref, j_taps: int, q: int, compute_dtype):
         else:
             taps.append(sub)
     cat = jnp.concatenate(taps, axis=0)           # (J*N, P*t0)
-    return jnp.dot(w_ref[...].astype(compute_dtype), cat,
+    return jnp.dot(w_ref[...].astype(md), cat.astype(md),
                    preferred_element_type=jnp.float32)
 
 
 def _make_generator_kernel(factors: Sequence[int], num_res_blocks: int,
                            proj_kernel: int, t0: int, stack_kernel_size: int,
                            negative_slope: float, compute_dtype,
-                           pqmf_taps: int = 0, pqmf_q: int = 0):
+                           pqmf_taps: int = 0, pqmf_q: int = 0,
+                           matmul_dtype=None):
     n_stage = len(factors)
 
     def kernel(mel_ref, *refs):
@@ -268,24 +275,26 @@ def _make_generator_kernel(factors: Sequence[int], num_res_blocks: int,
         x = jnp.transpose(mel_ref[0]).astype(compute_dtype)  # (80, t0)
         sigma: Tuple[int, ...] = (0,)
         x = _conv_head(x, sigma, t0, w_refs[0], w_refs[1], proj_kernel,
-                       compute_dtype).astype(compute_dtype)
+                       compute_dtype, matmul_dtype).astype(compute_dtype)
         idx = 2
         for i in range(n_stage):
             wa, wb, ub = w_refs[idx], w_refs[idx + 1], w_refs[idx + 2]
             w1, b1, w2, bout = w_refs[idx + 3:idx + 7]
             idx += 7
             x, sigma = _upsample_body(x, sigma, t0, wa, wb, ub, factors[i],
-                                      negative_slope, compute_dtype)
+                                      negative_slope, compute_dtype,
+                                      matmul_dtype)
             x = _stack_body_pb(x, sigma, t0, w1, b1, w2, bout, num_res_blocks,
                                stack_kernel_size, negative_slope,
-                               compute_dtype)
+                               compute_dtype, matmul_dtype)
         y = _leaky(x, negative_slope)
         y = _conv_head(y, sigma, t0, w_refs[idx], w_refs[idx + 1], proj_kernel,
-                       compute_dtype)
+                       compute_dtype, matmul_dtype)
         y = jnp.tanh(y)
         if pqmf_taps:
             y = _pqmf_tail(y.astype(compute_dtype), sigma, t0,
-                           w_refs[idx + 2], pqmf_taps, pqmf_q, compute_dtype)
+                           w_refs[idx + 2], pqmf_taps, pqmf_q, compute_dtype,
+                           matmul_dtype)
         out_ref[0] = y.astype(out_ref.dtype)
 
     return kernel
@@ -295,12 +304,13 @@ def _make_generator_kernel(factors: Sequence[int], num_res_blocks: int,
     jax.jit, static_argnames=("factors", "num_res_blocks", "proj_kernel",
                               "out_channels", "stack_kernel_size",
                               "negative_slope", "compute_dtype", "pqmf_taps",
-                              "pqmf_q", "interpret"))
+                              "pqmf_q", "matmul_dtype", "interpret"))
 def _fused_generator(mel: Array, weights, factors, num_res_blocks: int,
                      proj_kernel: int, out_channels: int,
                      stack_kernel_size: int = 3, negative_slope: float = 0.2,
                      compute_dtype=jnp.float32, pqmf_taps: int = 0,
-                     pqmf_q: int = 0, interpret: bool = False) -> Array:
+                     pqmf_q: int = 0, matmul_dtype=None,
+                     interpret: bool = False) -> Array:
     """mel (B, T, n_mels) -> (B, out_channels, P*T) in PHASE-BLOCK lane
     order (storage block j = true phase phase_order(factors)[j]); callers
     un-permute with ``to_true_time``. With ``pqmf_taps`` the output channels
@@ -314,7 +324,7 @@ def _fused_generator(mel: Array, weights, factors, num_res_blocks: int,
         _make_generator_kernel(tuple(factors), num_res_blocks, proj_kernel,
                                T, stack_kernel_size, negative_slope,
                                compute_dtype, pqmf_taps=pqmf_taps,
-                               pqmf_q=pqmf_q),
+                               pqmf_q=pqmf_q, matmul_dtype=matmul_dtype),
         out_shape=jax.ShapeDtypeStruct((B, out_channels, t_out), mel.dtype),
         grid=(B,),
         in_specs=[pl.BlockSpec((1, T, mel.shape[2]), lambda b: (b, 0, 0),
@@ -348,11 +358,20 @@ def _packed_has_pqmf(gen, packed) -> bool:
 
 
 def megakernel_generator_apply(gen, packed, c: Array, compute_dtype=None,
+                               matmul_dtype=None,
                                interpret: bool = False) -> Array:
     """Whole-generator forward from ``pack_generator_params`` output.
     Returns true-time NWC (B, T*prod(factors), out_channels) subbands, or
     (B, T*prod(factors)*N, 1) waveform when the packed tuple carries the
-    fused PQMF synthesis matmul."""
+    fused PQMF synthesis matmul.
+
+    ``matmul_dtype=jnp.bfloat16`` casts each matmul's operands to bf16 while
+    activations/shifts stay in ``compute_dtype``. NOTE: measured on v5e this
+    is a NO-OP (bit-identical output, same time) because Mosaic's DEFAULT dot
+    precision already computes f32 x f32 as one bf16 pass; it is kept as the
+    hook for future explicit-precision modes (e.g. int8). Full-bf16
+    ``compute_dtype`` is *slower* than fp32: Mosaic's packed-dtype lane
+    gathers lose more than the (already-bf16) MXU could gain."""
     if _packed_has_pqmf(gen, packed):
         pqmf = gen.pqmf
         _, q = pack_pqmf_synthesis_params(pqmf)
@@ -361,7 +380,8 @@ def megakernel_generator_apply(gen, packed, c: Array, compute_dtype=None,
             c, packed, factors=tuple(gen.upsample_factors),
             num_res_blocks=gen.num_res_blocks, proj_kernel=gen.proj_kernel,
             out_channels=pqmf.N, compute_dtype=compute_dtype or jnp.float32,
-            pqmf_taps=taps, pqmf_q=q, interpret=interpret)
+            pqmf_taps=taps, pqmf_q=q, matmul_dtype=matmul_dtype,
+            interpret=interpret)
         wav = to_true_time(pb, gen.upsample_factors)   # (B, L, N phases)
         B, L, N = wav.shape
         return wav.reshape(B, L * N, 1)
@@ -369,7 +389,8 @@ def megakernel_generator_apply(gen, packed, c: Array, compute_dtype=None,
         c, packed, factors=tuple(gen.upsample_factors),
         num_res_blocks=gen.num_res_blocks, proj_kernel=gen.proj_kernel,
         out_channels=gen.out_channels,
-        compute_dtype=compute_dtype or jnp.float32, interpret=interpret)
+        compute_dtype=compute_dtype or jnp.float32,
+        matmul_dtype=matmul_dtype, interpret=interpret)
     return to_true_time(pb, gen.upsample_factors)
 
 
@@ -392,7 +413,7 @@ def megakernel_supported(gen, t_frames: int) -> bool:
 
 
 def megakernel_inference(gen, packed, c: Array, compute_dtype=None,
-                         interpret: bool = False) -> Array:
+                         matmul_dtype=None, interpret: bool = False) -> Array:
     """Full serving entry: inference padding + megakernel forward + PQMF
     synthesis (in-kernel when packed with ``fuse_pqmf``) for multiband
     generators. Returns NWC waveform."""
@@ -401,6 +422,7 @@ def megakernel_inference(gen, packed, c: Array, compute_dtype=None,
         c = jnp.pad(c, ((0, 0), (p, p), (0, 0)), mode="edge")
     out = megakernel_generator_apply(gen, packed, c,
                                      compute_dtype=compute_dtype,
+                                     matmul_dtype=matmul_dtype,
                                      interpret=interpret)
     pqmf = getattr(gen, "pqmf", None)
     if (pqmf is not None and gen.out_channels > 1

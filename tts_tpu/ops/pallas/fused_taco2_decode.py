@@ -34,7 +34,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(steps: int, r: int, n_mels: int, H: int, compute_dtype):
+def _make_kernel(steps: int, r: int, n_mels: int, H: int, compute_dtype,
+                 energy_dtype=jnp.float32):
     def kernel(enc_ref, pi_ref, mask_ref,
                pw1_ref, pw2_ref,
                aw_ref, ab_ref,
@@ -76,14 +77,22 @@ def _make_kernel(steps: int, r: int, n_mels: int, H: int, compute_dtype):
             h1, c1 = lstm(x1, h1, c1, aw_ref, ab_ref)
             # location attention: banded conv+dense fold
             pq = dot(h1, qk_ref[:])            # (B, A)
+            ed = energy_dtype
             loc = jax.lax.dot_general(
                 jnp.concatenate([align, cum], axis=-1).astype(cd),
                 kb_ref[:].astype(cd),
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (B, T, A)
-            e_in = jnp.tanh(pq[:, None, :] + pi.astype(jnp.float32) + loc)
-            energies = jnp.sum(e_in * v_ref[:].astype(jnp.float32)[None, None],
-                               axis=-1)        # (B, T) f32, VPU reduce
+                preferred_element_type=jnp.float32)  # (B,T,A); Mosaic
+            # requires 32-bit matmul accumulators, so cast after the dot.
+            # energy_dtype=bf16 was measured SLOWER than f32 at batch 128
+            # (62.0 vs 59.2 us/step, scripts/profile_decode_energy.py):
+            # Mosaic's packed-bf16 elementwise ops don't pay here. Kept as
+            # the hook for future hardware; default f32 is bit-identical to
+            # the original formulation.
+            e_in = jnp.tanh((pq[:, None, :] + pi.astype(jnp.float32)
+                             + loc).astype(ed))
+            energies = jnp.sum(e_in * v_ref[:].astype(ed)[None, None],
+                               axis=-1).astype(jnp.float32)  # (B, T)
             energies = jnp.where(maskf > 0, energies, neg)
             align_new = jax.nn.softmax(energies, axis=-1)   # f32
             cum = cum + align_new
@@ -170,11 +179,12 @@ def pack_decoder_params(params: Dict[str, Any], *, n_mels: int = 80,
 
 
 @functools.partial(jax.jit, static_argnames=("steps", "r", "n_mels",
-                                             "compute_dtype", "interpret"))
+                                             "compute_dtype", "energy_dtype",
+                                             "interpret"))
 def fused_decode(enc: jnp.ndarray, processed_inputs: jnp.ndarray,
                  mask: jnp.ndarray, packed: Dict[str, jnp.ndarray],
                  steps: int, r: int, n_mels: int = 80,
-                 compute_dtype=jnp.bfloat16,
+                 compute_dtype=jnp.bfloat16, energy_dtype=jnp.float32,
                  interpret: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """enc (B, T, D), processed_inputs (B, T, A), mask (B, T) ->
@@ -198,7 +208,8 @@ def fused_decode(enc: jnp.ndarray, processed_inputs: jnp.ndarray,
         jax.ShapeDtypeStruct((steps, B, T), jnp.float32),
     )
     return pl.pallas_call(
-        _make_kernel(steps, r, n_mels, H, compute_dtype),
+        _make_kernel(steps, r, n_mels, H, compute_dtype,
+                     energy_dtype=energy_dtype),
         out_shape=out_shapes,
         in_specs=[vm()] * (3 + len(ops)),
         out_specs=(vm(), vm(), vm()),
