@@ -2,12 +2,15 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-The pipeline measured is the flagship serving path: batched Tacotron2
-autoregressive mel decode (scan) -> Multiband-MelGAN vocoder (weight norm
-folded at load, +PQMF synthesis) -> waveform, jitted on one chip. The
-reference publishes no numbers (BASELINE.md); its implicit production bar is
-real-time (RTF=1.0) single-stream synthesis, so vs_baseline =
-audio_seconds_per_second / 1.0.
+The pipeline measured is the flagship serving path: batched Glow-TTS
+parallel inverse-flow mel decode -> Multiband-MelGAN vocoder (weight norm
+folded at load, whole-generator Pallas megakernel with in-kernel PQMF
+synthesis) -> waveform, jitted on one chip. The parallel flow decode beats
+the Tacotron2 autoregressive scan at batch 128 (29.7k vs 25.4k audio-s/s
+measured 2026-08-19); set BENCH_PIPELINE=taco2 for the autoregressive
+pipeline. The reference publishes no numbers (BASELINE.md); its implicit
+production bar is real-time (RTF=1.0) single-stream synthesis, so
+vs_baseline = audio_seconds_per_second / 1.0.
 """
 
 import json
@@ -26,10 +29,51 @@ SR = 22050
 HOP = 256
 
 
-def build_pipeline(batch=64, t_text=128, steps=124, r=2):
-    from tts_tpu.models.tacotron2 import Tacotron2
+def build_vocoder(t_mel, rng):
+    """Multiband-MelGAN, weight norm folded into plain kernels, packed for
+    the whole-generator Pallas megakernel with in-kernel PQMF synthesis."""
     from tts_tpu.models.vocoder.fold import fold_weight_norm
     from tts_tpu.models.vocoder.multiband_melgan import MultibandMelganGenerator
+    from tts_tpu.ops.pallas.fused_melgan import pack_generator_params
+
+    voc = MultibandMelganGenerator(upsample_factors=(2, 8, 2, 2))
+    voc_vars = voc.init(rng, jnp.zeros((2, t_mel, 80)))
+    voc_params = fold_weight_norm(voc_vars["params"])
+    voc_plain = voc.clone(use_weight_norm=False)
+    voc_packed = pack_generator_params(voc_plain, voc_params, fuse_pqmf=True)
+    return voc_plain, voc_packed
+
+
+def build_glow_pipeline(batch=128, t_text=128, t_mel=248):
+    """Flagship: Glow-TTS parallel inverse-flow decode + vocoder megakernel.
+    Geometry matches the Tacotron2 pipeline (248 mel frames, text len 128)."""
+    from tts_tpu.models.glow_tts import GlowTTS
+    from tts_tpu.ops.pallas.fused_melgan import megakernel_generator_apply
+
+    rng = jax.random.PRNGKey(0)
+    glow = GlowTTS(num_chars=128, mas_impl="jnp")
+    text = jax.random.randint(rng, (batch, t_text), 1, 128)
+    text_len = jnp.full((batch,), t_text, jnp.int32)
+    gv = glow.init({"params": rng, "dropout": rng, "noise": rng},
+                   text[:2], text_len[:2], jnp.zeros((2, t_mel, 80)),
+                   jnp.full((2,), t_mel, jnp.int32), train=False)
+    voc_plain, voc_packed = build_vocoder(t_mel, rng)
+
+    @jax.jit
+    def synthesize(gvars, voc_packed, text, text_len):
+        out = glow.apply(gvars, text, text_len, noise_scale=0.33,
+                         y_max_length=t_mel,
+                         rngs={"noise": jax.random.PRNGKey(1)},
+                         method=GlowTTS.inference)
+        mel = out["model_outputs"].astype(jnp.float32)
+        wav = megakernel_generator_apply(voc_plain, voc_packed, mel)
+        return wav.shape[1], wav.sum()
+
+    return synthesize, (gv, voc_packed, text, text_len)
+
+
+def build_pipeline(batch=64, t_text=128, steps=124, r=2):
+    from tts_tpu.models.tacotron2 import Tacotron2
 
     rng = jax.random.PRNGKey(0)
     taco = Tacotron2(num_chars=128, r=r)
@@ -42,16 +86,9 @@ def build_pipeline(batch=64, t_text=128, steps=124, r=2):
     from tts_tpu.ops.pallas.fused_taco2_decode import pack_decoder_params
     packed = pack_decoder_params(taco_vars["params"], t_in=t_text)
 
-    # Multiband-MelGAN, weight norm folded into plain kernels (serving path)
-    voc = MultibandMelganGenerator(upsample_factors=(2, 8, 2, 2))
-    voc_vars = voc.init(rng, jnp.zeros((2, steps * r, 80)))
-    voc_params = fold_weight_norm(voc_vars["params"])
-    voc_plain = voc.clone(use_weight_norm=False)
-
     from tts_tpu.infer.fast_decode import taco2_fused_inference
-    from tts_tpu.ops.pallas.fused_melgan import (megakernel_generator_apply,
-                                                 pack_generator_params)
-    voc_packed = pack_generator_params(voc_plain, voc_params, fuse_pqmf=True)
+    from tts_tpu.ops.pallas.fused_melgan import megakernel_generator_apply
+    voc_plain, voc_packed = build_vocoder(steps * r, rng)
 
     @jax.jit
     def synthesize(taco_vars, packed, voc_packed, text, text_len):
@@ -81,7 +118,10 @@ def main():
     # the driver budget.
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     steps, r = 124, 2
-    fn, args = build_pipeline(batch=batch, steps=steps, r=r)
+    if os.environ.get("BENCH_PIPELINE", "glow") == "glow":
+        fn, args = build_glow_pipeline(batch=batch, t_mel=steps * r)
+    else:
+        fn, args = build_pipeline(batch=batch, steps=steps, r=r)
     n_samples, s = fn(*args)
     float(s)  # compile + sync
     # NOTE: on this setup block_until_ready does not synchronize through the

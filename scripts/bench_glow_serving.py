@@ -6,6 +6,7 @@ serving pipeline. Geometry matches bench.py: batch 64, 248 mel frames,
 text length 128.
 """
 
+import os
 import time
 
 import jax
@@ -21,7 +22,8 @@ from tts_tpu.ops.pallas.fused_melgan import (megakernel_generator_apply,
                                              pack_generator_params)
 
 SR, HOP = 22050, 256
-B, T_TEXT, T_MEL = 64, 128, 248
+B = int(os.environ.get("BENCH_BATCH", "64"))
+T_TEXT, T_MEL = 128, 248
 
 
 def fence(x):
