@@ -267,35 +267,40 @@ def _make_generator_kernel(factors: Sequence[int], num_res_blocks: int,
                            proj_kernel: int, t0: int, stack_kernel_size: int,
                            negative_slope: float, compute_dtype,
                            pqmf_taps: int = 0, pqmf_q: int = 0,
-                           matmul_dtype=None):
+                           matmul_dtype=None, items_per_block: int = 1):
     n_stage = len(factors)
 
     def kernel(mel_ref, *refs):
         w_refs, out_ref = refs[:-1], refs[-1]
-        x = jnp.transpose(mel_ref[0]).astype(compute_dtype)  # (80, t0)
-        sigma: Tuple[int, ...] = (0,)
-        x = _conv_head(x, sigma, t0, w_refs[0], w_refs[1], proj_kernel,
-                       compute_dtype, matmul_dtype).astype(compute_dtype)
-        idx = 2
-        for i in range(n_stage):
-            wa, wb, ub = w_refs[idx], w_refs[idx + 1], w_refs[idx + 2]
-            w1, b1, w2, bout = w_refs[idx + 3:idx + 7]
-            idx += 7
-            x, sigma = _upsample_body(x, sigma, t0, wa, wb, ub, factors[i],
-                                      negative_slope, compute_dtype,
-                                      matmul_dtype)
-            x = _stack_body_pb(x, sigma, t0, w1, b1, w2, bout, num_res_blocks,
-                               stack_kernel_size, negative_slope,
+        # several batch items per grid step amortize the per-step fixed cost
+        # (measured ~13 us/item at batch 128: proj_in alone is 1.67 ms,
+        # scripts/profile_mega_stages.py); items run back-to-back in-kernel
+        for item in range(items_per_block):
+            x = jnp.transpose(mel_ref[item]).astype(compute_dtype)  # (80,t0)
+            sigma: Tuple[int, ...] = (0,)
+            x = _conv_head(x, sigma, t0, w_refs[0], w_refs[1], proj_kernel,
+                           compute_dtype, matmul_dtype).astype(compute_dtype)
+            idx = 2
+            for i in range(n_stage):
+                wa, wb, ub = w_refs[idx], w_refs[idx + 1], w_refs[idx + 2]
+                w1, b1, w2, bout = w_refs[idx + 3:idx + 7]
+                idx += 7
+                x, sigma = _upsample_body(x, sigma, t0, wa, wb, ub,
+                                          factors[i], negative_slope,
+                                          compute_dtype, matmul_dtype)
+                x = _stack_body_pb(x, sigma, t0, w1, b1, w2, bout,
+                                   num_res_blocks, stack_kernel_size,
+                                   negative_slope, compute_dtype,
+                                   matmul_dtype)
+            y = _leaky(x, negative_slope)
+            y = _conv_head(y, sigma, t0, w_refs[idx], w_refs[idx + 1],
+                           proj_kernel, compute_dtype, matmul_dtype)
+            y = jnp.tanh(y)
+            if pqmf_taps:
+                y = _pqmf_tail(y.astype(compute_dtype), sigma, t0,
+                               w_refs[idx + 2], pqmf_taps, pqmf_q,
                                compute_dtype, matmul_dtype)
-        y = _leaky(x, negative_slope)
-        y = _conv_head(y, sigma, t0, w_refs[idx], w_refs[idx + 1], proj_kernel,
-                       compute_dtype, matmul_dtype)
-        y = jnp.tanh(y)
-        if pqmf_taps:
-            y = _pqmf_tail(y.astype(compute_dtype), sigma, t0,
-                           w_refs[idx + 2], pqmf_taps, pqmf_q, compute_dtype,
-                           matmul_dtype)
-        out_ref[0] = y.astype(out_ref.dtype)
+            out_ref[item] = y.astype(out_ref.dtype)
 
     return kernel
 
@@ -304,12 +309,14 @@ def _make_generator_kernel(factors: Sequence[int], num_res_blocks: int,
     jax.jit, static_argnames=("factors", "num_res_blocks", "proj_kernel",
                               "out_channels", "stack_kernel_size",
                               "negative_slope", "compute_dtype", "pqmf_taps",
-                              "pqmf_q", "matmul_dtype", "interpret"))
+                              "pqmf_q", "matmul_dtype", "items_per_block",
+                              "interpret"))
 def _fused_generator(mel: Array, weights, factors, num_res_blocks: int,
                      proj_kernel: int, out_channels: int,
                      stack_kernel_size: int = 3, negative_slope: float = 0.2,
                      compute_dtype=jnp.float32, pqmf_taps: int = 0,
                      pqmf_q: int = 0, matmul_dtype=None,
+                     items_per_block: int = 1,
                      interpret: bool = False) -> Array:
     """mel (B, T, n_mels) -> (B, out_channels, P*T) in PHASE-BLOCK lane
     order (storage block j = true phase phase_order(factors)[j]); callers
@@ -317,6 +324,8 @@ def _fused_generator(mel: Array, weights, factors, num_res_blocks: int,
     are the N wav phases of the in-kernel PQMF synthesis instead of the
     subbands (true wav index = (u*P + sigma[j])*N + p)."""
     B, T, _ = mel.shape
+    ipb = items_per_block
+    assert B % ipb == 0, (B, ipb)
     t_out = T * int(np.prod(factors))
     full = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
@@ -324,13 +333,15 @@ def _fused_generator(mel: Array, weights, factors, num_res_blocks: int,
         _make_generator_kernel(tuple(factors), num_res_blocks, proj_kernel,
                                T, stack_kernel_size, negative_slope,
                                compute_dtype, pqmf_taps=pqmf_taps,
-                               pqmf_q=pqmf_q, matmul_dtype=matmul_dtype),
+                               pqmf_q=pqmf_q, matmul_dtype=matmul_dtype,
+                               items_per_block=ipb),
         out_shape=jax.ShapeDtypeStruct((B, out_channels, t_out), mel.dtype),
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, T, mel.shape[2]), lambda b: (b, 0, 0),
+        grid=(B // ipb,),
+        in_specs=[pl.BlockSpec((ipb, T, mel.shape[2]), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)]
                  + [full(w) for w in weights],
-        out_specs=pl.BlockSpec((1, out_channels, t_out), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((ipb, out_channels, t_out),
+                               lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
@@ -357,6 +368,25 @@ def _packed_has_pqmf(gen, packed) -> bool:
     return len(packed) == 4 + 7 * len(gen.upsample_factors) + 1
 
 
+def _per_item_peak_bytes(gen, t_frames: int) -> int:
+    """~peak VMEM working set per batch item (same model as
+    megakernel_supported)."""
+    factors = tuple(gen.upsample_factors)
+    t_total = t_frames * int(np.prod(factors))
+    c_last = gen.base_channels >> len(factors)
+    return 4 * t_total * (10 * max(c_last, gen.out_channels)
+                          + gen.proj_kernel * c_last)
+
+
+def _auto_items_per_block(gen, B: int, t_frames: int) -> int:
+    """NEGATIVE RESULT (2026-08-19): items_per_block=4 measured SLOWER than
+    1 at bench shapes (6.2 vs 5.4 ms at batch 128) — per-grid-step cost is
+    hidden by cross-step DMA/compute pipelining, and larger blocks reduce
+    that overlap. Kept at 1; the items_per_block plumbing remains for
+    explicit experiments."""
+    return 1
+
+
 def megakernel_generator_apply(gen, packed, c: Array, compute_dtype=None,
                                matmul_dtype=None,
                                interpret: bool = False) -> Array:
@@ -372,6 +402,7 @@ def megakernel_generator_apply(gen, packed, c: Array, compute_dtype=None,
     hook for future explicit-precision modes (e.g. int8). Full-bf16
     ``compute_dtype`` is *slower* than fp32: Mosaic's packed-dtype lane
     gathers lose more than the (already-bf16) MXU could gain."""
+    ipb = _auto_items_per_block(gen, c.shape[0], c.shape[1])
     if _packed_has_pqmf(gen, packed):
         pqmf = gen.pqmf
         _, q = pack_pqmf_synthesis_params(pqmf)
@@ -381,7 +412,7 @@ def megakernel_generator_apply(gen, packed, c: Array, compute_dtype=None,
             num_res_blocks=gen.num_res_blocks, proj_kernel=gen.proj_kernel,
             out_channels=pqmf.N, compute_dtype=compute_dtype or jnp.float32,
             pqmf_taps=taps, pqmf_q=q, matmul_dtype=matmul_dtype,
-            interpret=interpret)
+            items_per_block=ipb, interpret=interpret)
         wav = to_true_time(pb, gen.upsample_factors)   # (B, L, N phases)
         B, L, N = wav.shape
         return wav.reshape(B, L * N, 1)
@@ -390,7 +421,7 @@ def megakernel_generator_apply(gen, packed, c: Array, compute_dtype=None,
         num_res_blocks=gen.num_res_blocks, proj_kernel=gen.proj_kernel,
         out_channels=gen.out_channels,
         compute_dtype=compute_dtype or jnp.float32,
-        matmul_dtype=matmul_dtype, interpret=interpret)
+        matmul_dtype=matmul_dtype, items_per_block=ipb, interpret=interpret)
     return to_true_time(pb, gen.upsample_factors)
 
 
