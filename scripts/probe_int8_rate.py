@@ -15,10 +15,11 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/tts_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 M = K = N = 1024
-REP = 8
+OPS = 8          # distinct operand tensors per side
+REP = 64         # dots per dispatch: all (i, j) pairs are distinct -> no CSE
 
 
-def timeit(fn, *args, iters=50):
+def timeit(fn, *args, iters=30):
     s = fn(*args)
     float(s)
     t0 = time.perf_counter()
@@ -30,15 +31,16 @@ def timeit(fn, *args, iters=50):
 
 def make(acc):
     def kernel(a_ref, b_ref, o_ref):
-        for i in range(REP):
+        for r in range(REP):
+            i, j = r % OPS, (r // OPS) % OPS
             o_ref[:, i * N:(i + 1) * N] = jnp.dot(
-                a_ref[i], b_ref[i], preferred_element_type=acc)
+                a_ref[i], b_ref[j], preferred_element_type=acc)
 
     @jax.jit
     def run(a, b):
         return pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((M, REP * N), acc),
+            out_shape=jax.ShapeDtypeStruct((M, OPS * N), acc),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
@@ -49,10 +51,10 @@ def make(acc):
 
 def main():
     rng = jax.random.PRNGKey(0)
-    a = jax.random.normal(rng, (REP, M, K)).astype(jnp.bfloat16)
-    b = jax.random.normal(jax.random.PRNGKey(1), (REP, K, N)).astype(jnp.bfloat16)
-    ai = jax.random.randint(rng, (REP, M, K), -127, 127, jnp.int8)
-    bi = jax.random.randint(rng, (REP, K, N), -127, 127, jnp.int8)
+    a = jax.random.normal(rng, (OPS, M, K)).astype(jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(1), (OPS, K, N)).astype(jnp.bfloat16)
+    ai = jax.random.randint(rng, (OPS, M, K), -127, 127, jnp.int8)
+    bi = jax.random.randint(rng, (OPS, K, N), -127, 127, jnp.int8)
     macs = M * K * N * REP
     for name, acc, (x, y) in [("bf16", jnp.float32, (a, b)),
                               ("int8", jnp.int32, (ai, bi))]:

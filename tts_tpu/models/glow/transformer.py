@@ -49,13 +49,16 @@ class RelativePositionMultiHeadAttention(nn.Module):
             # relative embeddings outside the window (transformer.py
             # _get_relative_embeddings pads with zeros), so positions with
             # |j - i| > W contribute 0 — not the clipped edge embedding.
+            # Computed through a banded (T, S, d) table built by a tiny
+            # one-hot matmul: all-MXU. (A per-(b,h,t,s) gather formulation
+            # measured ~2x the encoder's roofline on TPU serving.)
             rel_raw = jnp.arange(T)[None, :] - jnp.arange(T)[:, None]
             in_window = (jnp.abs(rel_raw) <= W)  # (T, T)
             rel = jnp.clip(rel_raw, -W, W) + W
-            rel_logits = jnp.einsum("bthd,rd->bhtr", q, emb_k) / math.sqrt(k_ch)
-            scores = scores + jnp.where(
-                in_window[None, None],
-                rel_logits[:, :, jnp.arange(T)[:, None], rel], 0.0)
+            sel = jax.nn.one_hot(rel, 2 * W + 1) * in_window[..., None]
+            emb_full = jnp.einsum("tsr,rd->tsd", sel, emb_k)  # (T, S, d)
+            scores = scores + jnp.einsum("bthd,tsd->bhts", q, emb_full) \
+                / math.sqrt(k_ch)
         if self.proximal_bias:
             r = jnp.arange(T, dtype=jnp.float32)
             diff = r[None, :] - r[:, None]
@@ -76,7 +79,6 @@ class RelativePositionMultiHeadAttention(nn.Module):
                                nn.initializers.normal(k_ch**-0.5),
                                (2 * W + 1, k_ch))
             # same zero-outside-window semantics as the key path
-            sel = jax.nn.one_hot(rel, 2 * W + 1) * in_window[..., None]
             out = out + jnp.einsum("bhts,tsr,rd->bthd", p, sel, emb_v)
 
         out = out.reshape(B, T, C)
