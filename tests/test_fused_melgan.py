@@ -154,3 +154,22 @@ class TestMegakernelGenerator:
                                    np.asarray(want)[:, :16], atol=3e-5)
         np.testing.assert_allclose(np.asarray(got)[:, -16:],
                                    np.asarray(want)[:, -16:], atol=3e-5)
+
+    def test_accum_and_pretransposed_variants_exact(self):
+        """accum_taps (per-tap accumulated matmuls) and pretransposed
+        (mel transpose hoisted out of the kernel) match the base kernel."""
+        rng = jax.random.PRNGKey(4)
+        gen = MultibandMelganGenerator(upsample_factors=(2, 4),
+                                       base_channels=32)
+        mel = jax.random.normal(rng, (2, 16, 80))
+        variables = gen.init(rng, mel)
+        folded = fold_weight_norm(variables["params"])
+        packed = pack_generator_params(gen, folded, fuse_pqmf=True)
+        base = megakernel_generator_apply(gen, packed, mel, interpret=True)
+        for accum in (False, True):
+            for pretrans in (False, True):
+                got = megakernel_generator_apply(
+                    gen, packed, mel, accum_taps=accum,
+                    pretransposed=pretrans, interpret=True)
+                np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                           atol=3e-6)

@@ -178,9 +178,12 @@ def pack_generator_params(gen, params: Dict[str, Any], dtype=jnp.float32,
     return tuple(ops)
 
 
-def _conv_head(x, sigma, t0, w, b, k: int, compute_dtype, matmul_dtype=None):
+def _conv_head(x, sigma, t0, w, b, k: int, compute_dtype, matmul_dtype=None,
+               accum_taps: bool = False):
     """k-tap reflect-padded conv as one matmul: operand is the concat of the
-    k true-time-shifted copies (tap delta = j - k//2)."""
+    k true-time-shifted copies (tap delta = j - k//2). With ``accum_taps``
+    the concat is skipped and the k matmuls accumulate instead (saves a
+    (k*C, P*t0) VPU copy at the cost of k narrow-K MXU passes)."""
     md = matmul_dtype or compute_dtype
     half = k // 2
     taps = [_true_shift(x, sigma, t0, half - j, +1, "reflect")
@@ -188,6 +191,14 @@ def _conv_head(x, sigma, t0, w, b, k: int, compute_dtype, matmul_dtype=None):
     taps += [x]
     taps += [_true_shift(x, sigma, t0, j, -1, "reflect")
              for j in range(1, half + 1)]
+    if accum_taps:
+        c_in = x.shape[0]
+        acc = b[...].astype(jnp.float32)[:, None]
+        for j, tap in enumerate(taps):
+            acc = acc + jnp.dot(
+                w[:, j * c_in:(j + 1) * c_in].astype(md), tap.astype(md),
+                preferred_element_type=jnp.float32)
+        return acc
     cat = jnp.concatenate(taps, axis=0)                  # (k*C, P*t0)
     return (jnp.dot(w[...].astype(md), cat.astype(md),
                     preferred_element_type=jnp.float32)
@@ -195,7 +206,8 @@ def _conv_head(x, sigma, t0, w, b, k: int, compute_dtype, matmul_dtype=None):
 
 
 def _upsample_body(x, sigma, t0, wa, wb, bias, factor: int,
-                   negative_slope: float, compute_dtype, matmul_dtype=None):
+                   negative_slope: float, compute_dtype, matmul_dtype=None,
+                   accum_taps: bool = False):
     """leaky -> polyphase transposed conv: (C_in, P*t0) -> (C_out, P*f*t0)
     with the new storage order sigma' = compose_phase_order(sigma, f)."""
     md = matmul_dtype or compute_dtype
@@ -203,13 +215,19 @@ def _upsample_body(x, sigma, t0, wa, wb, bias, factor: int,
     y = _leaky(x, negative_slope)
     ym = _true_shift(y, sigma, t0, 1, +1, "zero")        # x[v-1]
     yp = _true_shift(y, sigma, t0, 1, -1, "zero")        # x[v+1]
-    a = jnp.concatenate([ym, y], axis=0)                 # (2C_in, P*t0)
-    b_ = jnp.concatenate([y, yp], axis=0)
-    ra = (jnp.dot(wa[...].astype(md), a.astype(md),
-                  preferred_element_type=jnp.float32)
-          )                                              # (f/2*C_out, P*t0)
-    rb = jnp.dot(wb[...].astype(md), b_.astype(md),
-                 preferred_element_type=jnp.float32)
+    if accum_taps:
+        c_in = x.shape[0]
+        dot = lambda w, v: jnp.dot(w.astype(md), v.astype(md),
+                                   preferred_element_type=jnp.float32)
+        ra = dot(wa[:, :c_in], ym) + dot(wa[:, c_in:], y)
+        rb = dot(wb[:, :c_in], y) + dot(wb[:, c_in:], yp)
+    else:
+        a = jnp.concatenate([ym, y], axis=0)             # (2C_in, P*t0)
+        b_ = jnp.concatenate([y, yp], axis=0)
+        ra = jnp.dot(wa[...].astype(md), a.astype(md),
+                     preferred_element_type=jnp.float32)  # (f/2*C_out, P*t0)
+        rb = jnp.dot(wb[...].astype(md), b_.astype(md),
+                     preferred_element_type=jnp.float32)
     c_out = 2 * ra.shape[0] // f
     bias_col = bias[...].astype(jnp.float32)[:, None]
     pieces = [ra[q * c_out:(q + 1) * c_out] + bias_col
@@ -222,15 +240,27 @@ def _upsample_body(x, sigma, t0, wa, wb, bias, factor: int,
 
 def _stack_body_pb(x, sigma, t0, w1, b1, w2, bout, num_blocks: int,
                    kernel_size: int, negative_slope: float, compute_dtype,
-                   matmul_dtype=None):
+                   matmul_dtype=None, accum_taps: bool = False):
     """Residual stack on a phase-block (C, P*t0) value (same matmuls as
     fused_resstack.stack_body; shifts resolved through sigma)."""
     md = matmul_dtype or compute_dtype
+    dot = lambda w, v: jnp.dot(w.astype(md), v.astype(md),
+                               preferred_element_type=jnp.float32)
     for blk in range(num_blocks):
         d = kernel_size ** blk
         y = _leaky(x, negative_slope)
         ym = _true_shift(y, sigma, t0, d, +1, "reflect")
         yp = _true_shift(y, sigma, t0, d, -1, "reflect")
+        c = x.shape[0]
+        if accum_taps:
+            h = (dot(w1[blk][:, :c], ym) + dot(w1[blk][:, c:2 * c], y)
+                 + dot(w1[blk][:, 2 * c:], yp)
+                 + b1[blk].astype(jnp.float32)[:, None])
+            hl = _leaky(h, negative_slope).astype(compute_dtype)
+            x = (dot(w2[blk][:, :c], hl) + dot(w2[blk][:, c:], x)
+                 + bout[blk].astype(jnp.float32)[:, None]
+                 ).astype(compute_dtype)
+            continue
         cat1 = jnp.concatenate([ym, y, yp], axis=0)      # (3C, P*t0)
         h = (jnp.dot(w1[blk].astype(md), cat1.astype(md),
                      preferred_element_type=jnp.float32)
@@ -245,7 +275,7 @@ def _stack_body_pb(x, sigma, t0, w1, b1, w2, bout, num_blocks: int,
 
 
 def _pqmf_tail(sub, sigma, t0, w_ref, j_taps: int, q: int, compute_dtype,
-               matmul_dtype=None):
+               matmul_dtype=None, accum_taps: bool = False):
     """In-kernel PQMF polyphase synthesis: wav phase block (N, P*t0) from the
     tanh'd subbands. phases[t] = sum_j syn[j] @ sub[t + j - q] (zero edges)."""
     md = matmul_dtype or compute_dtype
@@ -258,6 +288,15 @@ def _pqmf_tail(sub, sigma, t0, w_ref, j_taps: int, q: int, compute_dtype,
             taps.append(_true_shift(sub, sigma, t0, s, -1, "zero"))
         else:
             taps.append(sub)
+    if accum_taps:
+        n = sub.shape[0]
+        acc = jnp.dot(w_ref[:, :n].astype(md), taps[0].astype(md),
+                      preferred_element_type=jnp.float32)
+        for j in range(1, j_taps):
+            acc = acc + jnp.dot(
+                w_ref[:, j * n:(j + 1) * n].astype(md), taps[j].astype(md),
+                preferred_element_type=jnp.float32)
+        return acc
     cat = jnp.concatenate(taps, axis=0)           # (J*N, P*t0)
     return jnp.dot(w_ref[...].astype(md), cat.astype(md),
                    preferred_element_type=jnp.float32)
@@ -267,7 +306,9 @@ def _make_generator_kernel(factors: Sequence[int], num_res_blocks: int,
                            proj_kernel: int, t0: int, stack_kernel_size: int,
                            negative_slope: float, compute_dtype,
                            pqmf_taps: int = 0, pqmf_q: int = 0,
-                           matmul_dtype=None, items_per_block: int = 1):
+                           matmul_dtype=None, items_per_block: int = 1,
+                           accum_taps: bool = False,
+                           pretransposed: bool = False):
     n_stage = len(factors)
 
     def kernel(mel_ref, *refs):
@@ -276,10 +317,14 @@ def _make_generator_kernel(factors: Sequence[int], num_res_blocks: int,
         # (measured ~13 us/item at batch 128: proj_in alone is 1.67 ms,
         # scripts/profile_mega_stages.py); items run back-to-back in-kernel
         for item in range(items_per_block):
-            x = jnp.transpose(mel_ref[item]).astype(compute_dtype)  # (80,t0)
+            if pretransposed:
+                x = mel_ref[item].astype(compute_dtype)             # (80,t0)
+            else:
+                x = jnp.transpose(mel_ref[item]).astype(compute_dtype)
             sigma: Tuple[int, ...] = (0,)
             x = _conv_head(x, sigma, t0, w_refs[0], w_refs[1], proj_kernel,
-                           compute_dtype, matmul_dtype).astype(compute_dtype)
+                           compute_dtype, matmul_dtype,
+                           accum_taps).astype(compute_dtype)
             idx = 2
             for i in range(n_stage):
                 wa, wb, ub = w_refs[idx], w_refs[idx + 1], w_refs[idx + 2]
@@ -287,19 +332,21 @@ def _make_generator_kernel(factors: Sequence[int], num_res_blocks: int,
                 idx += 7
                 x, sigma = _upsample_body(x, sigma, t0, wa, wb, ub,
                                           factors[i], negative_slope,
-                                          compute_dtype, matmul_dtype)
+                                          compute_dtype, matmul_dtype,
+                                          accum_taps)
                 x = _stack_body_pb(x, sigma, t0, w1, b1, w2, bout,
                                    num_res_blocks, stack_kernel_size,
                                    negative_slope, compute_dtype,
-                                   matmul_dtype)
+                                   matmul_dtype, accum_taps)
             y = _leaky(x, negative_slope)
             y = _conv_head(y, sigma, t0, w_refs[idx], w_refs[idx + 1],
-                           proj_kernel, compute_dtype, matmul_dtype)
+                           proj_kernel, compute_dtype, matmul_dtype,
+                           accum_taps)
             y = jnp.tanh(y)
             if pqmf_taps:
                 y = _pqmf_tail(y.astype(compute_dtype), sigma, t0,
                                w_refs[idx + 2], pqmf_taps, pqmf_q,
-                               compute_dtype, matmul_dtype)
+                               compute_dtype, matmul_dtype, accum_taps)
             out_ref[item] = y.astype(out_ref.dtype)
 
     return kernel
@@ -310,34 +357,42 @@ def _make_generator_kernel(factors: Sequence[int], num_res_blocks: int,
                               "out_channels", "stack_kernel_size",
                               "negative_slope", "compute_dtype", "pqmf_taps",
                               "pqmf_q", "matmul_dtype", "items_per_block",
-                              "interpret"))
+                              "accum_taps", "pretransposed", "interpret"))
 def _fused_generator(mel: Array, weights, factors, num_res_blocks: int,
                      proj_kernel: int, out_channels: int,
                      stack_kernel_size: int = 3, negative_slope: float = 0.2,
                      compute_dtype=jnp.float32, pqmf_taps: int = 0,
                      pqmf_q: int = 0, matmul_dtype=None,
-                     items_per_block: int = 1,
+                     items_per_block: int = 1, accum_taps: bool = False,
+                     pretransposed: bool = False,
                      interpret: bool = False) -> Array:
     """mel (B, T, n_mels) -> (B, out_channels, P*T) in PHASE-BLOCK lane
     order (storage block j = true phase phase_order(factors)[j]); callers
     un-permute with ``to_true_time``. With ``pqmf_taps`` the output channels
     are the N wav phases of the in-kernel PQMF synthesis instead of the
-    subbands (true wav index = (u*P + sigma[j])*N + p)."""
-    B, T, _ = mel.shape
+    subbands (true wav index = (u*P + sigma[j])*N + p). With
+    ``pretransposed`` the input is (B, n_mels, T) and the per-item Mosaic
+    transpose is hoisted to one XLA relayout outside the kernel."""
+    if pretransposed:
+        B, n_mels, T = mel.shape
+    else:
+        B, T, n_mels = mel.shape
     ipb = items_per_block
     assert B % ipb == 0, (B, ipb)
     t_out = T * int(np.prod(factors))
     full = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
+    in_block = (ipb, n_mels, T) if pretransposed else (ipb, T, n_mels)
     return pl.pallas_call(
         _make_generator_kernel(tuple(factors), num_res_blocks, proj_kernel,
                                T, stack_kernel_size, negative_slope,
                                compute_dtype, pqmf_taps=pqmf_taps,
                                pqmf_q=pqmf_q, matmul_dtype=matmul_dtype,
-                               items_per_block=ipb),
+                               items_per_block=ipb, accum_taps=accum_taps,
+                               pretransposed=pretransposed),
         out_shape=jax.ShapeDtypeStruct((B, out_channels, t_out), mel.dtype),
         grid=(B // ipb,),
-        in_specs=[pl.BlockSpec((ipb, T, mel.shape[2]), lambda b: (b, 0, 0),
+        in_specs=[pl.BlockSpec(in_block, lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)]
                  + [full(w) for w in weights],
         out_specs=pl.BlockSpec((ipb, out_channels, t_out),
@@ -388,7 +443,8 @@ def _auto_items_per_block(gen, B: int, t_frames: int) -> int:
 
 
 def megakernel_generator_apply(gen, packed, c: Array, compute_dtype=None,
-                               matmul_dtype=None,
+                               matmul_dtype=None, accum_taps: bool = False,
+                               pretransposed: bool = False,
                                interpret: bool = False) -> Array:
     """Whole-generator forward from ``pack_generator_params`` output.
     Returns true-time NWC (B, T*prod(factors), out_channels) subbands, or
@@ -402,7 +458,10 @@ def megakernel_generator_apply(gen, packed, c: Array, compute_dtype=None,
     hook for future explicit-precision modes (e.g. int8). Full-bf16
     ``compute_dtype`` is *slower* than fp32: Mosaic's packed-dtype lane
     gathers lose more than the (already-bf16) MXU could gain."""
-    ipb = _auto_items_per_block(gen, c.shape[0], c.shape[1])
+    t_frames = c.shape[1]
+    ipb = _auto_items_per_block(gen, c.shape[0], t_frames)
+    if pretransposed:
+        c = jnp.transpose(c, (0, 2, 1))  # one XLA relayout for the batch
     if _packed_has_pqmf(gen, packed):
         pqmf = gen.pqmf
         _, q = pack_pqmf_synthesis_params(pqmf)
@@ -412,7 +471,8 @@ def megakernel_generator_apply(gen, packed, c: Array, compute_dtype=None,
             num_res_blocks=gen.num_res_blocks, proj_kernel=gen.proj_kernel,
             out_channels=pqmf.N, compute_dtype=compute_dtype or jnp.float32,
             pqmf_taps=taps, pqmf_q=q, matmul_dtype=matmul_dtype,
-            items_per_block=ipb, interpret=interpret)
+            items_per_block=ipb, accum_taps=accum_taps,
+            pretransposed=pretransposed, interpret=interpret)
         wav = to_true_time(pb, gen.upsample_factors)   # (B, L, N phases)
         B, L, N = wav.shape
         return wav.reshape(B, L * N, 1)
@@ -421,7 +481,9 @@ def megakernel_generator_apply(gen, packed, c: Array, compute_dtype=None,
         num_res_blocks=gen.num_res_blocks, proj_kernel=gen.proj_kernel,
         out_channels=gen.out_channels,
         compute_dtype=compute_dtype or jnp.float32,
-        matmul_dtype=matmul_dtype, items_per_block=ipb, interpret=interpret)
+        matmul_dtype=matmul_dtype, items_per_block=ipb,
+        accum_taps=accum_taps, pretransposed=pretransposed,
+        interpret=interpret)
     return to_true_time(pb, gen.upsample_factors)
 
 
