@@ -34,7 +34,6 @@ def main():
     folded = fold_weight_norm(v["params"])
     packed = fm.pack_generator_params(gen, folded, fuse_pqmf=True)
 
-    import functools
     for at in (False, True):
         for pt in (False, True):
             @jax.jit

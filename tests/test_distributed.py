@@ -61,27 +61,34 @@ class TestDPTrainStep:
         assert int(state.step) == 1
 
     def test_dp_matches_single_device(self, mesh):
-        """psum-reduced DP step == single-device step on the same global batch
-        (the correctness property of gradient all-reduce)."""
+        """pmean-reduced DP step EQUALS the single-device step on the same
+        global batch — losses and post-step params (the correctness property
+        of gradient all-reduce, ≙ reference distribute.py:75-116).
+
+        Dropout is disabled (train=False) so both runs compute the same
+        function; the batch uses uniform lengths so the per-shard masked
+        means compose exactly to the global mean.
+        """
         model, state, batch, rng = self._setup(mesh)
 
-        # single-device reference: disable dropout-noise mismatch by using the
-        # same rng; dropout keys differ per shard, so compare grads-free
-        # quantities: run both on identical params and compare param update
-        # direction magnitudes loosely. Instead, we compare loss value, which
-        # is dropout-dependent -> use deterministic eval-style check on grads
-        # of a dropout-free scalar: here we just assert both steps produce
-        # finite, same-magnitude updates.
-        single = make_train_step(model, jit=True)
+        single = make_train_step(model, jit=True, train=False)
         s1, losses1 = single(state, batch, rng)
 
         state_r = replicate(self._setup(mesh)[1], mesh)
-        step = make_dp_train_step(model, mesh)
+        step = make_dp_train_step(model, mesh, train=False)
         s2, losses2 = step(state_r, shard_batch(batch, mesh), rng)
 
-        l1, l2 = float(losses1["loss"]), float(losses2["loss"])
-        assert np.isfinite(l1) and np.isfinite(l2)
-        assert abs(l1 - l2) / max(abs(l1), 1e-6) < 0.35  # dropout noise only
+        np.testing.assert_allclose(float(losses1["loss"]),
+                                   float(losses2["loss"]),
+                                   rtol=1e-5)
+        flat1 = jax.tree_util.tree_leaves_with_path(s1.params)
+        flat2 = dict(jax.tree_util.tree_leaves_with_path(s2.params))
+        assert flat1 and len(flat1) == len(flat2)
+        for path, leaf1 in flat1:
+            np.testing.assert_allclose(
+                np.asarray(leaf1), np.asarray(flat2[path]),
+                atol=1e-6, rtol=1e-4,
+                err_msg=f"param diverged at {jax.tree_util.keystr(path)}")
 
     def test_dp_multiple_steps_stay_synced(self, mesh):
         model, state, batch, rng = self._setup(mesh)

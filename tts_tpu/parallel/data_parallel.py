@@ -53,12 +53,18 @@ def make_dp_train_step(
     loss_kwargs: Optional[Dict] = None,
     axis: str = "data",
     mixed_precision: bool = False,
+    train: bool = True,
 ) -> Callable:
     """Jitted SPMD train step: per-device forward/backward on its batch shard,
     pmean(grads) over ICI, replicated optimizer update.
 
     Returns step(state, batch, rng) -> (state, losses); state replicated,
     batch sharded on leading axis.
+
+    train=False disables dropout/batch-norm updates so the step is a
+    deterministic function of (params, batch): with equal-size shards the
+    pmean'd step must then EQUAL the single-device step on the global batch
+    (tests/test_distributed.py::test_dp_matches_single_device).
     """
     loss_kwargs = dict(loss_kwargs or {})
     loss_kwargs.setdefault("r", model.r)
@@ -78,7 +84,7 @@ def make_dp_train_step(
                 {"params": p, "batch_stats": state.batch_stats},
                 b["text"], b["text_lengths"],
                 b["mel"], b["mel_lengths"],
-                train=True, rngs={"dropout": drop_rng},
+                train=train, rngs={"dropout": drop_rng},
                 mutable=["batch_stats"], **_model_kwargs(b))
             if mixed_precision:
                 from tts_tpu.train.state import _cast_floats

@@ -68,6 +68,35 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def host_local_to_global(tree, mesh: Mesh, axis: str = "data"):
+    """Assemble per-process local batch shards into global arrays sharded on
+    ``axis`` (multi-process equivalent of data_parallel.shard_batch; ≙ the
+    reference's DistributedSampler handing each rank its slice,
+    /root/reference/TTS/tts/utils/distribute.py:11-50)."""
+    sharding = NamedSharding(mesh, P(axis))
+
+    def put(x):
+        if not hasattr(x, "ndim") or x.ndim < 1:
+            return x
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+    return jax.tree_util.tree_map(put, tree)
+
+
+def replicate_global(tree, mesh: Mesh):
+    """Replicate host-identical values over a (possibly multi-process) mesh.
+
+    Unlike ``data_parallel.replicate`` (single-process device_put), this works
+    when the mesh spans non-addressable devices: every process must hold the
+    same value (e.g. same-seed init or a restored checkpoint)."""
+    sharding = NamedSharding(mesh, P())
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+    return jax.tree_util.tree_map(put, tree)
+
+
 def local_batch_slice(global_batch: int) -> Tuple[int, int]:
     """(per-host batch, host offset) for host-local data loading
     (≙ DistributedSampler sharding by rank)."""

@@ -59,13 +59,19 @@ def _model_kwargs(batch: Dict) -> Dict:
 
 
 def make_train_step(model, loss_kwargs: Optional[Dict] = None,
-                    jit: bool = True, mixed_precision: bool = False) -> Callable:
+                    jit: bool = True, mixed_precision: bool = False,
+                    train: bool = True) -> Callable:
     """Returns step(state, batch, rng) -> (new_state, losses_dict).
 
     mixed_precision: run the forward in bfloat16 (params cast at the step
     boundary — f32 masters stay in the optimizer; losses and grads are f32).
     TPU-native equivalent of the reference's apex AMP O1 (train_tts.py:553-559);
     no loss scaling needed — bf16 keeps f32's exponent range.
+
+    train=False builds a fully deterministic step (dropout off, batch-norm
+    running stats): gradients are still taken and applied — used by the
+    DP-equals-single-device correctness tests where dropout noise would mask
+    an all-reduce bug.
     """
     loss_kwargs = dict(loss_kwargs or {})
     loss_kwargs.setdefault("r", model.r)
@@ -84,7 +90,7 @@ def make_train_step(model, loss_kwargs: Optional[Dict] = None,
                 {"params": p, "batch_stats": state.batch_stats},
                 b["text"], b["text_lengths"],
                 b["mel"], b["mel_lengths"],
-                train=True, rngs={"dropout": drop_rng},
+                train=train, rngs={"dropout": drop_rng},
                 mutable=["batch_stats"], **_model_kwargs(b))
             if mixed_precision:
                 out = _cast_floats(out, jnp.float32)
