@@ -157,14 +157,16 @@ class TestMegakernelGenerator:
 
     def test_accum_and_pretransposed_variants_exact(self):
         """accum_taps (per-tap accumulated matmuls) and pretransposed
-        (mel transpose hoisted out of the kernel) match the base kernel."""
+        (mel transpose hoisted out of the kernel) match the base kernel.
+        accum_taps applies to the unfolded packing only."""
         rng = jax.random.PRNGKey(4)
         gen = MultibandMelganGenerator(upsample_factors=(2, 4),
                                        base_channels=32)
         mel = jax.random.normal(rng, (2, 16, 80))
         variables = gen.init(rng, mel)
         folded = fold_weight_norm(variables["params"])
-        packed = pack_generator_params(gen, folded, fuse_pqmf=True)
+        packed = pack_generator_params(gen, folded, fuse_pqmf=True,
+                                       fold=False)
         base = megakernel_generator_apply(gen, packed, mel, interpret=True)
         for accum in (False, True):
             for pretrans in (False, True):
@@ -173,3 +175,62 @@ class TestMegakernelGenerator:
                     pretransposed=pretrans, interpret=True)
                 np.testing.assert_allclose(np.asarray(got), np.asarray(base),
                                            atol=3e-6)
+
+
+class TestFoldedLayout:
+    """Superphase-group fold: the folded packing must be element-wise exact
+    vs both the unfolded kernel and the flax generator."""
+
+    @pytest.mark.parametrize("factors,base", [((2, 4), 32), ((2, 8, 2, 2), 96),
+                                              ((4, 2), 32)])
+    def test_folded_matches_flax(self, factors, base):
+        from tts_tpu.ops.pallas.fused_melgan import fold_start_stage
+        rng = jax.random.PRNGKey(len(factors) + 10)
+        gen = MultibandMelganGenerator(upsample_factors=factors,
+                                       base_channels=base)
+        assert fold_start_stage(gen) is not None
+        mel = jax.random.normal(rng, (2, 17, 80))
+        variables = gen.init(rng, mel)
+        folded = fold_weight_norm(variables["params"])
+        plain = gen.clone(use_weight_norm=False)
+        want = plain.apply({"params": folded}, mel)
+        packed = pack_generator_params(gen, folded, fold=True)
+        got = megakernel_generator_apply(gen, packed, mel, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=1e-4)
+
+    def test_folded_pqmf_in_kernel(self):
+        rng = jax.random.PRNGKey(6)
+        gen = MultibandMelganGenerator(upsample_factors=(2, 4),
+                                       base_channels=32)
+        mel = jax.random.normal(rng, (2, 20, 80))
+        variables = gen.init(rng, mel)
+        folded = fold_weight_norm(variables["params"])
+        plain = gen.clone(use_weight_norm=False)
+        want = plain.apply({"params": folded}, mel,
+                           method=MelganGenerator.inference)
+        want = plain.pqmf.synthesis(want)
+        packed = pack_generator_params(gen, folded, fuse_pqmf=True,
+                                       fold=True)
+        got = megakernel_inference(gen, packed, mel, interpret=True)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=1e-4)
+
+    def test_folded_edges_match(self):
+        """First/last samples exercise every reflect/zero edge fix through
+        the folded window blocks."""
+        rng = jax.random.PRNGKey(7)
+        gen = MultibandMelganGenerator(upsample_factors=(2, 4),
+                                       base_channels=32)
+        mel = jax.random.normal(rng, (1, 16, 80))
+        variables = gen.init(rng, mel)
+        folded = fold_weight_norm(variables["params"])
+        plain = gen.clone(use_weight_norm=False)
+        want = plain.apply({"params": folded}, mel)
+        packed = pack_generator_params(gen, folded, fold=True)
+        got = megakernel_generator_apply(gen, packed, mel, interpret=True)
+        np.testing.assert_allclose(np.asarray(got)[:, :16],
+                                   np.asarray(want)[:, :16], atol=3e-5)
+        np.testing.assert_allclose(np.asarray(got)[:, -16:],
+                                   np.asarray(want)[:, -16:], atol=3e-5)

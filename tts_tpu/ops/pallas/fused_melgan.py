@@ -156,26 +156,72 @@ def pack_pqmf_synthesis_params(pqmf, dtype=jnp.float32):
 
 
 def pack_generator_params(gen, params: Dict[str, Any], dtype=jnp.float32,
-                          fuse_pqmf: bool = False):
+                          fuse_pqmf: bool = False, fold: bool = None):
     """Pack a FOLDED (use_weight_norm=False) MelGAN-family generator params
     tree into the megakernel's flat operand tuple. When the generator is
     multiband and ``fuse_pqmf``, the PQMF synthesis matmul is appended and
-    runs inside the kernel."""
+    runs inside the kernel.
+
+    ``fold``: pack the late stages in the superphase-group layout (see the
+    fold section below) — the weights of stages >= fold_start_stage(gen),
+    proj_out, and the PQMF tail become block-banded folded matmuls. Default
+    (None) folds whenever the generator geometry supports it; the apply side
+    auto-detects from the tuple length."""
+    if fold is None:
+        fold = fold_start_stage(gen) is not None
+    ff = fold_start_stage(gen) if fold else None
     ops = [pack_proj_params(params["proj_in"]["conv"]["kernel"], dtype),
            jnp.asarray(params["proj_in"]["conv"]["bias"], dtype)]
+    g = 1
     for i, factor in enumerate(gen.upsample_factors):
         up = params[f"upsample_{i}"]
-        wa, wb = pack_upsample_params(up["kernel"], factor, dtype)
-        ops += [wa, wb, jnp.asarray(up["bias"], dtype)]
-        ops += list(pack_stack_params(params[f"resstack_{i}"],
-                                      gen.num_res_blocks, dtype))
-    ops += [pack_proj_params(params["proj_out"]["conv"]["kernel"], dtype),
-            jnp.asarray(params["proj_out"]["conv"]["bias"], dtype)]
+        if ff is None or i < ff:
+            wa, wb = pack_upsample_params(up["kernel"], factor, dtype)
+            ops += [wa, wb, jnp.asarray(up["bias"], dtype)]
+            ops += list(pack_stack_params(params[f"resstack_{i}"],
+                                          gen.num_res_blocks, dtype))
+            continue
+        ops += [pack_folded_upsample(up["kernel"], factor, g, dtype),
+                _tile_bias(up["bias"], factor * g, dtype)]
+        g *= factor
+        w1s, b1s, w2s, bouts = pack_stack_params(
+            params[f"resstack_{i}"], gen.num_res_blocks, jnp.float32)
+        c = int(w1s.shape[1])
+        for blk in range(gen.num_res_blocks):
+            d = 3 ** blk
+            ops += [pack_folded_conv(np.asarray(w1s[blk]), c, (-d, 0, d),
+                                     g, dtype),
+                    _tile_bias(b1s[blk], g, dtype),
+                    pack_folded_pair(np.asarray(w2s[blk]), c, g, dtype),
+                    _tile_bias(bouts[blk], g, dtype)]
+    po_w = pack_proj_params(params["proj_out"]["conv"]["kernel"], dtype)
+    po_b = params["proj_out"]["conv"]["bias"]
+    if ff is not None:
+        k = np.asarray(params["proj_out"]["conv"]["kernel"]).shape[0]
+        half = k // 2
+        c_last = np.asarray(params["proj_out"]["conv"]["kernel"]).shape[1]
+        ops += [pack_folded_conv(np.asarray(po_w), c_last,
+                                 tuple(range(-half, half + 1)), g, dtype),
+                _tile_bias(po_b, g, dtype)]
+    else:
+        ops += [po_w, jnp.asarray(po_b, dtype)]
     if fuse_pqmf and getattr(gen, "pqmf", None) is not None \
             and gen.out_channels > 1:
-        w, _ = pack_pqmf_synthesis_params(gen.pqmf, dtype)
-        ops.append(w)
+        w, q = pack_pqmf_synthesis_params(gen.pqmf, dtype)
+        if ff is not None:
+            taps = int(np.asarray(gen.pqmf._syn_poly).shape[0])
+            ops.append(pack_folded_conv(
+                np.asarray(w), gen.pqmf.N,
+                tuple(j - q for j in range(taps)), g, dtype))
+        else:
+            ops.append(w)
     return tuple(ops)
+
+
+def _packed_len(gen, fold_from, with_pqmf: bool) -> int:
+    s, nrb = len(gen.upsample_factors), gen.num_res_blocks
+    ff = s if fold_from is None else fold_from
+    return 4 + 7 * ff + (s - ff) * (2 + 4 * nrb) + (1 if with_pqmf else 0)
 
 
 def _conv_head(x, sigma, t0, w, b, k: int, compute_dtype, matmul_dtype=None,
@@ -302,14 +348,233 @@ def _pqmf_tail(sub, sigma, t0, w_ref, j_taps: int, q: int, compute_dtype,
                    preferred_element_type=jnp.float32)
 
 
+# --------------------------------------------------------------------------
+# Superphase-group ("folded") layout: the MXU-utilization fix for the late
+# small-channel stages.
+#
+# Problem: at stage C=24 every stack matmul is (24, 72) @ (72, P*t0) — 24/128
+# output sublanes and 72/128 contraction rows per MXU pass (~10% utilization);
+# measured 2.3x total gap to the FLOP roofline concentrated in stages 2-3 +
+# proj_out/pqmf (scripts/model_mega_passes.py).
+#
+# Fix: fold g consecutive TRUE phases into the channel (sublane) dimension.
+# Layout: (g*C, Q*t0) where Q = P/g "superphase" lane blocks ordered by
+# sigma_q (the phase_order table of the UNfolded prefix stages), lanes within
+# a block = mel frames u, and sublane block r = in-group phase (true-ordered).
+# True time tau = u*P + sigma_q[j]*g + r.
+#
+# A k-tap conv with offsets D on folded data becomes ONE matmul whose
+# operand stacks the window blocks {r + d : r in [0,g), d in D} (each block
+# (C, Q*t0): in-group phase psi of the current/adjacent group, built from
+# row slices + lane-block shifts — never a lane interleave) and whose weight
+# is block-banded (g*C_out, len(window)*C_in): row block r places tap d at
+# window block (r + d). Overlap sharing keeps K ~ (g + spread)*C_in, so
+# M = g*C_out ≈ 128 at ~constant FLOPs: stage-3 w1 goes from 1x1x124 tile
+# passes to 1x2x31. Pointwise convs (w2) pay a g-fold FLOP replication but
+# still win on M utilization. Upsamples fold naturally (g_out = f*g_in,
+# r_out = f*r_in + p) and consume the previous stage's folded layout, so the
+# fold propagates with zero relayout passes.
+# --------------------------------------------------------------------------
+
+
+def fold_start_stage(gen) -> int | None:
+    """First stage index from which the generator runs folded: channel width
+    <= 64 (so g*C can reach a full 128-sublane tile) and every remaining
+    upsample factor even (polyphase split needs f even). None = no folding."""
+    factors = tuple(gen.upsample_factors)
+    ch = gen.base_channels
+    for i, f in enumerate(factors):
+        ch //= 2
+        if ch <= 64 and all(x % 2 == 0 for x in factors[i:]):
+            return i
+    return None
+
+
+def _phases_for(offsets: Sequence[int], g: int) -> Tuple[int, ...]:
+    """Exact set of window in-group phases {r + d} a folded conv needs."""
+    return tuple(sorted({r + d for r in range(g) for d in offsets}))
+
+
+def _mode_col(xf, sigma_q, t0: int, g: int, C: int, tau: int, mode: str):
+    """(g*C-row ref's) single true-time column (C, 1) for an out-of-range
+    position ``tau``, resolved per ``mode`` (reflect ≙ torch ReflectionPad1d,
+    zero ≙ transposed-conv / PQMF edges)."""
+    if mode == "zero":
+        return jnp.zeros((C, 1), xf.dtype)
+    P = len(sigma_q) * g
+    L = P * t0
+    t = -tau if tau < 0 else 2 * (L - 1) - tau
+    assert 0 <= t < L, (tau, t, L)
+    inv_q = {q: j for j, q in enumerate(sigma_q)}
+    phi = t % P
+    lane = inv_q[phi // g] * t0 + t // P
+    r = phi % g
+    return xf[r * C:(r + 1) * C, lane:lane + 1]
+
+
+def _window_block(xf, sigma_q, t0: int, g: int, C: int, psi: int, mode: str):
+    """(C, Q*t0) operand block: value at lane (j, u) = x_true[u*P +
+    sigma_q[j]*g + psi]. psi in [0, g) is a free row slice; outside, the
+    block comes from the (psi//g)-group-shifted view with per-column edge
+    fixes (at most ceil(|psi|/g) columns per lane block)."""
+    Q = len(sigma_q)
+    P = Q * g
+    if 0 <= psi < g:
+        return xf[psi * C:(psi + 1) * C]
+    n, r = psi // g, psi % g          # floor division: psi = n*g + r
+    base = xf[r * C:(r + 1) * C]
+    inv_q = {q: j for j, q in enumerate(sigma_q)}
+    cols = []
+    for j in range(Q):
+        q = sigma_q[j]
+        qs = q + n
+        carry = qs // Q
+        src = inv_q[qs % Q] * t0
+        if carry == 0:
+            cols.append(base[:, src:src + t0])
+        elif carry < 0:
+            k = -carry
+            fixes = [_mode_col(xf, sigma_q, t0, g, C,
+                               u * P + q * g + psi, mode) for u in range(k)]
+            cols.append(jnp.concatenate(
+                fixes + [base[:, src:src + t0 - k]], axis=1))
+        else:
+            k = carry
+            fixes = [_mode_col(xf, sigma_q, t0, g, C, u * P + q * g + psi,
+                               mode) for u in range(t0 - k, t0)]
+            cols.append(jnp.concatenate(
+                [base[:, src + k:src + t0]] + fixes, axis=1))
+    return jnp.concatenate(cols, axis=1)
+
+
+def _folded_operand(xf, sigma_q, t0, g, C, phases, mode):
+    return jnp.concatenate(
+        [_window_block(xf, sigma_q, t0, g, C, p, mode) for p in phases],
+        axis=0)
+
+
+def pack_folded_conv(w_dense: Array, c_in: int, offsets: Sequence[int],
+                     g: int, dtype=jnp.float32) -> Array:
+    """Dense conv weight (C_out, n_taps*C_in), tap t at offset offsets[t],
+    -> block-banded folded weight (g*C_out, len(phases)*C_in)."""
+    w = np.asarray(w_dense)
+    c_out = w.shape[0]
+    phases = _phases_for(offsets, g)
+    idx = {p: k for k, p in enumerate(phases)}
+    big = np.zeros((g * c_out, len(phases) * c_in), w.dtype)
+    for r in range(g):
+        for t, d in enumerate(offsets):
+            k = idx[r + d]
+            big[r * c_out:(r + 1) * c_out, k * c_in:(k + 1) * c_in] = \
+                w[:, t * c_in:(t + 1) * c_in]
+    return jnp.asarray(big, dtype)
+
+
+def pack_folded_pair(w2: Array, c: int, g: int, dtype=jnp.float32) -> Array:
+    """Residual-block tail (C, 2C) over [leaky(h); x] -> block-diag folded
+    (g*C, 2*g*C): row block r reads hl block r and x block g+r."""
+    w = np.asarray(w2)
+    big = np.zeros((g * c, 2 * g * c), w.dtype)
+    for r in range(g):
+        big[r * c:(r + 1) * c, r * c:(r + 1) * c] = w[:, :c]
+        big[r * c:(r + 1) * c, (g + r) * c:(g + r + 1) * c] = w[:, c:]
+    return jnp.asarray(big, dtype)
+
+
+def pack_folded_upsample(kernel: Array, factor: int, g_in: int,
+                         dtype=jnp.float32) -> Array:
+    """Polyphase transposed conv producing the folded layout directly:
+    (g_out*C_out, (g_in+2)*C_in) over window phases [-1, g_in]; output row
+    block r_out = f*r_in + p (true in-group order)."""
+    f = factor
+    wa, wb = pack_upsample_params(kernel, f)
+    wa, wb = np.asarray(wa), np.asarray(wb)
+    c_in = wa.shape[1] // 2
+    c_out = wa.shape[0] // (f // 2)
+    g_out = f * g_in
+    big = np.zeros((g_out * c_out, (g_in + 2) * c_in), wa.dtype)
+    for r_out in range(g_out):
+        p, r_in = r_out % f, r_out // f
+        if p < f // 2:
+            taps = [(-1, wa[p * c_out:(p + 1) * c_out, :c_in]),
+                    (0, wa[p * c_out:(p + 1) * c_out, c_in:])]
+        else:
+            pb = p - f // 2
+            taps = [(0, wb[pb * c_out:(pb + 1) * c_out, :c_in]),
+                    (1, wb[pb * c_out:(pb + 1) * c_out, c_in:])]
+        for d, wslice in taps:
+            k = r_in + d + 1                     # window starts at phase -1
+            big[r_out * c_out:(r_out + 1) * c_out,
+                k * c_in:(k + 1) * c_in] = wslice
+    return jnp.asarray(big, dtype)
+
+
+def _tile_bias(b: Array, g: int, dtype=jnp.float32) -> Array:
+    return jnp.asarray(np.tile(np.asarray(b), g), dtype)
+
+
+def _folded_matmul(w_ref, operand, b_ref, md):
+    out = jnp.dot(w_ref[...].astype(md), operand.astype(md),
+                  preferred_element_type=jnp.float32)
+    if b_ref is not None:
+        out = out + b_ref[...].astype(jnp.float32)[:, None]
+    return out
+
+
+def _folded_upsample_body(x, sigma_q, t0, g_in, w_ref, b_ref, factor,
+                          negative_slope, compute_dtype, md):
+    """leaky -> folded polyphase upsample: (g_in*C_in, Q*t0) ->
+    (f*g_in*C_out, Q*t0); sigma_q and Q unchanged."""
+    c_in = x.shape[0] // max(g_in, 1)
+    y = _leaky(x, negative_slope)
+    phases = tuple(range(-1, g_in + 1))
+    cat = _folded_operand(y, sigma_q, t0, g_in, c_in, phases, "zero")
+    out = _folded_matmul(w_ref, cat, b_ref, md)
+    return out.astype(compute_dtype)
+
+
+def _folded_stack_body(x, sigma_q, t0, g, w1_refs, b1_refs, w2_refs, b2_refs,
+                       num_blocks, kernel_size, negative_slope,
+                       compute_dtype, md):
+    c = x.shape[0] // g
+    for blk in range(num_blocks):
+        d = kernel_size ** blk
+        y = _leaky(x, negative_slope)
+        phases = _phases_for((-d, 0, d), g)
+        cat1 = _folded_operand(y, sigma_q, t0, g, c, phases, "reflect")
+        h = _folded_matmul(w1_refs[blk], cat1, b1_refs[blk], md)
+        hl = _leaky(h, negative_slope).astype(compute_dtype)
+        cat2 = jnp.concatenate([hl, x], axis=0)        # (2*g*C, Q*t0)
+        x = _folded_matmul(w2_refs[blk], cat2, b2_refs[blk],
+                           md).astype(compute_dtype)
+    return x
+
+
+def to_true_time_folded(pb: Array, factors: Sequence[int],
+                        fold_from: int) -> Array:
+    """(B, g*C, Q*t0) folded output -> (B, T_total, C) true-time NWC."""
+    sigma_q = phase_order(factors[:fold_from])
+    g = int(np.prod(factors[fold_from:]))
+    Q = len(sigma_q)
+    B, rows, lanes = pb.shape
+    C, t0 = rows // g, lanes // Q
+    arr = pb.reshape(B, g, C, Q, t0)
+    inv = np.argsort(np.asarray(sigma_q))        # true superphase -> block j
+    arr = arr[:, :, :, inv, :]                   # (B, r, C, q_true, u)
+    arr = jnp.transpose(arr, (0, 4, 3, 1, 2))    # (B, u, q, r, C)
+    return arr.reshape(B, t0 * Q * g, C)
+
+
 def _make_generator_kernel(factors: Sequence[int], num_res_blocks: int,
                            proj_kernel: int, t0: int, stack_kernel_size: int,
                            negative_slope: float, compute_dtype,
                            pqmf_taps: int = 0, pqmf_q: int = 0,
                            matmul_dtype=None, items_per_block: int = 1,
                            accum_taps: bool = False,
-                           pretransposed: bool = False):
+                           pretransposed: bool = False,
+                           fold_from=None):
     n_stage = len(factors)
+    md = matmul_dtype or compute_dtype
 
     def kernel(mel_ref, *refs):
         w_refs, out_ref = refs[:-1], refs[-1]
@@ -326,27 +591,61 @@ def _make_generator_kernel(factors: Sequence[int], num_res_blocks: int,
                            compute_dtype, matmul_dtype,
                            accum_taps).astype(compute_dtype)
             idx = 2
+            g = 1
             for i in range(n_stage):
-                wa, wb, ub = w_refs[idx], w_refs[idx + 1], w_refs[idx + 2]
-                w1, b1, w2, bout = w_refs[idx + 3:idx + 7]
-                idx += 7
-                x, sigma = _upsample_body(x, sigma, t0, wa, wb, ub,
-                                          factors[i], negative_slope,
-                                          compute_dtype, matmul_dtype,
-                                          accum_taps)
-                x = _stack_body_pb(x, sigma, t0, w1, b1, w2, bout,
-                                   num_res_blocks, stack_kernel_size,
-                                   negative_slope, compute_dtype,
-                                   matmul_dtype, accum_taps)
+                if fold_from is None or i < fold_from:
+                    wa, wb, ub = w_refs[idx], w_refs[idx + 1], w_refs[idx + 2]
+                    w1, b1, w2, bout = w_refs[idx + 3:idx + 7]
+                    idx += 7
+                    x, sigma = _upsample_body(x, sigma, t0, wa, wb, ub,
+                                              factors[i], negative_slope,
+                                              compute_dtype, matmul_dtype,
+                                              accum_taps)
+                    x = _stack_body_pb(x, sigma, t0, w1, b1, w2, bout,
+                                       num_res_blocks, stack_kernel_size,
+                                       negative_slope, compute_dtype,
+                                       matmul_dtype, accum_taps)
+                    continue
+                # folded stages: sigma freezes as the superphase order
+                x = _folded_upsample_body(x, sigma, t0, g, w_refs[idx],
+                                          w_refs[idx + 1], factors[i],
+                                          negative_slope, compute_dtype, md)
+                idx += 2
+                g *= factors[i]
+                w1r = [w_refs[idx + 4 * b] for b in range(num_res_blocks)]
+                b1r = [w_refs[idx + 4 * b + 1] for b in range(num_res_blocks)]
+                w2r = [w_refs[idx + 4 * b + 2] for b in range(num_res_blocks)]
+                b2r = [w_refs[idx + 4 * b + 3] for b in range(num_res_blocks)]
+                idx += 4 * num_res_blocks
+                x = _folded_stack_body(x, sigma, t0, g, w1r, b1r, w2r, b2r,
+                                       num_res_blocks, stack_kernel_size,
+                                       negative_slope, compute_dtype, md)
             y = _leaky(x, negative_slope)
-            y = _conv_head(y, sigma, t0, w_refs[idx], w_refs[idx + 1],
-                           proj_kernel, compute_dtype, matmul_dtype,
-                           accum_taps)
-            y = jnp.tanh(y)
-            if pqmf_taps:
-                y = _pqmf_tail(y.astype(compute_dtype), sigma, t0,
-                               w_refs[idx + 2], pqmf_taps, pqmf_q,
-                               compute_dtype, matmul_dtype, accum_taps)
+            if fold_from is None:
+                y = _conv_head(y, sigma, t0, w_refs[idx], w_refs[idx + 1],
+                               proj_kernel, compute_dtype, matmul_dtype,
+                               accum_taps)
+                y = jnp.tanh(y)
+                if pqmf_taps:
+                    y = _pqmf_tail(y.astype(compute_dtype), sigma, t0,
+                                   w_refs[idx + 2], pqmf_taps, pqmf_q,
+                                   compute_dtype, matmul_dtype, accum_taps)
+            else:
+                c_last = y.shape[0] // g
+                half = proj_kernel // 2
+                cat = _folded_operand(
+                    y, sigma, t0, g, c_last,
+                    _phases_for(tuple(range(-half, half + 1)), g), "reflect")
+                y = _folded_matmul(w_refs[idx], cat, w_refs[idx + 1], md)
+                idx += 2
+                y = jnp.tanh(y)
+                if pqmf_taps:
+                    sub = y.astype(compute_dtype)        # (g*N, Q*t0)
+                    n_sub = sub.shape[0] // g
+                    offs = tuple(j - pqmf_q for j in range(pqmf_taps))
+                    cat = _folded_operand(sub, sigma, t0, g, n_sub,
+                                          _phases_for(offs, g), "zero")
+                    y = _folded_matmul(w_refs[idx], cat, None, md)
             out_ref[item] = y.astype(out_ref.dtype)
 
     return kernel
@@ -357,14 +656,15 @@ def _make_generator_kernel(factors: Sequence[int], num_res_blocks: int,
                               "out_channels", "stack_kernel_size",
                               "negative_slope", "compute_dtype", "pqmf_taps",
                               "pqmf_q", "matmul_dtype", "items_per_block",
-                              "accum_taps", "pretransposed", "interpret"))
+                              "accum_taps", "pretransposed", "fold_from",
+                              "interpret"))
 def _fused_generator(mel: Array, weights, factors, num_res_blocks: int,
                      proj_kernel: int, out_channels: int,
                      stack_kernel_size: int = 3, negative_slope: float = 0.2,
                      compute_dtype=jnp.float32, pqmf_taps: int = 0,
                      pqmf_q: int = 0, matmul_dtype=None,
                      items_per_block: int = 1, accum_taps: bool = False,
-                     pretransposed: bool = False,
+                     pretransposed: bool = False, fold_from=None,
                      interpret: bool = False) -> Array:
     """mel (B, T, n_mels) -> (B, out_channels, P*T) in PHASE-BLOCK lane
     order (storage block j = true phase phase_order(factors)[j]); callers
@@ -372,14 +672,21 @@ def _fused_generator(mel: Array, weights, factors, num_res_blocks: int,
     are the N wav phases of the in-kernel PQMF synthesis instead of the
     subbands (true wav index = (u*P + sigma[j])*N + p). With
     ``pretransposed`` the input is (B, n_mels, T) and the per-item Mosaic
-    transpose is hoisted to one XLA relayout outside the kernel."""
+    transpose is hoisted to one XLA relayout outside the kernel. With
+    ``fold_from`` the stages >= fold_from run in the superphase-group layout
+    and the output is (B, g*out_channels, Q*T) for to_true_time_folded."""
     if pretransposed:
         B, n_mels, T = mel.shape
     else:
         B, T, n_mels = mel.shape
     ipb = items_per_block
     assert B % ipb == 0, (B, ipb)
-    t_out = T * int(np.prod(factors))
+    if fold_from is None:
+        out_rows, t_out = out_channels, T * int(np.prod(factors))
+    else:
+        g = int(np.prod(factors[fold_from:]))
+        out_rows = g * out_channels
+        t_out = T * int(np.prod(factors[:fold_from]))
     full = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
     in_block = (ipb, n_mels, T) if pretransposed else (ipb, T, n_mels)
@@ -389,13 +696,14 @@ def _fused_generator(mel: Array, weights, factors, num_res_blocks: int,
                                compute_dtype, pqmf_taps=pqmf_taps,
                                pqmf_q=pqmf_q, matmul_dtype=matmul_dtype,
                                items_per_block=ipb, accum_taps=accum_taps,
-                               pretransposed=pretransposed),
-        out_shape=jax.ShapeDtypeStruct((B, out_channels, t_out), mel.dtype),
+                               pretransposed=pretransposed,
+                               fold_from=fold_from),
+        out_shape=jax.ShapeDtypeStruct((B, out_rows, t_out), mel.dtype),
         grid=(B // ipb,),
         in_specs=[pl.BlockSpec(in_block, lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)]
                  + [full(w) for w in weights],
-        out_specs=pl.BlockSpec((ipb, out_channels, t_out),
+        out_specs=pl.BlockSpec((ipb, out_rows, t_out),
                                lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
@@ -418,9 +726,20 @@ def to_true_time(pb: Array, factors: Sequence[int]) -> Array:
     return wav.reshape(B, t0 * P, C)
 
 
+def _detect_packing(gen, packed) -> Tuple[Any, bool]:
+    """(fold_from, has_pqmf) from the packed tuple's length — folded and
+    unfolded packings have distinct lengths whenever folding applies."""
+    ff = fold_start_stage(gen)
+    for fold_from in ([None] if ff is None else [ff, None]):
+        for has_pqmf in (False, True):
+            if len(packed) == _packed_len(gen, fold_from, has_pqmf):
+                return fold_from, has_pqmf
+    raise ValueError(
+        f"packed tuple of {len(packed)} ops matches no known layout")
+
+
 def _packed_has_pqmf(gen, packed) -> bool:
-    # the packed tuple carries the PQMF matmul iff it has one extra operand
-    return len(packed) == 4 + 7 * len(gen.upsample_factors) + 1
+    return _detect_packing(gen, packed)[1]
 
 
 def _per_item_peak_bytes(gen, t_frames: int) -> int:
@@ -460,31 +779,41 @@ def megakernel_generator_apply(gen, packed, c: Array, compute_dtype=None,
     gathers lose more than the (already-bf16) MXU could gain."""
     t_frames = c.shape[1]
     ipb = _auto_items_per_block(gen, c.shape[0], t_frames)
+    fold_from, has_pqmf = _detect_packing(gen, packed)
+    assert not (accum_taps and fold_from is not None), \
+        "accum_taps applies to the unfolded packing only"
     if pretransposed:
         c = jnp.transpose(c, (0, 2, 1))  # one XLA relayout for the batch
-    if _packed_has_pqmf(gen, packed):
+    factors = tuple(gen.upsample_factors)
+    if has_pqmf:
         pqmf = gen.pqmf
         _, q = pack_pqmf_synthesis_params(pqmf)
         taps = int(np.asarray(pqmf._syn_poly).shape[0])
         pb = _fused_generator(
-            c, packed, factors=tuple(gen.upsample_factors),
+            c, packed, factors=factors,
             num_res_blocks=gen.num_res_blocks, proj_kernel=gen.proj_kernel,
             out_channels=pqmf.N, compute_dtype=compute_dtype or jnp.float32,
             pqmf_taps=taps, pqmf_q=q, matmul_dtype=matmul_dtype,
             items_per_block=ipb, accum_taps=accum_taps,
-            pretransposed=pretransposed, interpret=interpret)
-        wav = to_true_time(pb, gen.upsample_factors)   # (B, L, N phases)
+            pretransposed=pretransposed, fold_from=fold_from,
+            interpret=interpret)
+        if fold_from is None:
+            wav = to_true_time(pb, factors)            # (B, L, N phases)
+        else:
+            wav = to_true_time_folded(pb, factors, fold_from)
         B, L, N = wav.shape
         return wav.reshape(B, L * N, 1)
     pb = _fused_generator(
-        c, packed, factors=tuple(gen.upsample_factors),
+        c, packed, factors=factors,
         num_res_blocks=gen.num_res_blocks, proj_kernel=gen.proj_kernel,
         out_channels=gen.out_channels,
         compute_dtype=compute_dtype or jnp.float32,
         matmul_dtype=matmul_dtype, items_per_block=ipb,
         accum_taps=accum_taps, pretransposed=pretransposed,
-        interpret=interpret)
-    return to_true_time(pb, gen.upsample_factors)
+        fold_from=fold_from, interpret=interpret)
+    if fold_from is None:
+        return to_true_time(pb, factors)
+    return to_true_time_folded(pb, factors, fold_from)
 
 
 def megakernel_supported(gen, t_frames: int) -> bool:

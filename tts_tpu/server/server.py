@@ -89,23 +89,46 @@ def create_server(synthesizer, port: int = 5002) -> ThreadingHTTPServer:
     return ThreadingHTTPServer(("0.0.0.0", port), make_handler(synthesizer))
 
 
-def main():
+def embedded_model_paths():
+    """(checkpoint, config) of a demo model shipped inside the wheel as
+    ``tts_tpu/server/model/`` package data, or (None, None)
+    (≙ reference server.py:31-63 + setup.py:89-103 wheel-embedded model)."""
+    import glob
+    import os
+    model_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "model")
+    ckpts = sorted(glob.glob(os.path.join(model_dir, "*.ckpt")))
+    cfg = os.path.join(model_dir, "config.json")
+    if ckpts and os.path.isfile(cfg):
+        return ckpts[-1], cfg
+    return None, None
+
+
+def main(argv=None):
+    from tts_tpu.parallel.mesh import initialize_multihost
+    initialize_multihost()  # honors TTS_TPU_FORCE_CPU; no-op otherwise
     from tts_tpu.utils.jax_cache import enable_persistent_cache
     enable_persistent_cache()
     parser = argparse.ArgumentParser()
-    parser.add_argument("--tts_checkpoint", required=True)
-    parser.add_argument("--tts_config", required=True)
+    parser.add_argument("--tts_checkpoint", default=None,
+                        help="defaults to the wheel-embedded demo model")
+    parser.add_argument("--tts_config", default=None)
     parser.add_argument("--vocoder_checkpoint", default=None)
     parser.add_argument("--vocoder_config", default=None)
     parser.add_argument("--port", type=int, default=5002)
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
+
+    if not args.tts_checkpoint:
+        args.tts_checkpoint, args.tts_config = embedded_model_paths()
+        if not args.tts_checkpoint:
+            parser.error("--tts_checkpoint required (no embedded model found)")
 
     from tts_tpu.infer.synthesizer import Synthesizer
 
     synth = Synthesizer(args.tts_checkpoint, args.tts_config,
                         args.vocoder_checkpoint, args.vocoder_config)
     server = create_server(synth, args.port)
-    print(f" > Serving on http://localhost:{args.port}")
+    print(f" > Serving on http://localhost:{args.port}", flush=True)
     server.serve_forever()
 
 
