@@ -86,3 +86,40 @@ def test_optimizer_state_roundtrip(tmp_path):
     p = save_checkpoint(str(tmp_path), params=params, opt_state=opt_state, step=1)
     ckpt = load_checkpoint(p)
     assert ckpt["opt_state"] is not None
+
+
+def test_mesh_checkpoint_roundtrip_across_device_counts(tmp_path):
+    """Save a state replicated over an 8-device mesh, restore it placed on a
+    1-device and a (4, 2) mesh — values must be identical (host/device-count
+    -agnostic restore, SURVEY.md §5 checkpoint bullet)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tts_tpu.parallel import make_mesh, replicate
+    from tts_tpu.train.checkpoint import (restore_for_mesh,
+                                          save_checkpoint_multihost)
+
+    params = {"enc": {"kernel": np.arange(12, dtype=np.float32).reshape(3, 4),
+                      "bias": np.ones(4, np.float32)}}
+    mesh8 = make_mesh((("data", -1),))
+    placed = replicate({"params": params}, mesh8)
+    path = save_checkpoint_multihost(str(tmp_path),
+                                     params=placed["params"], step=3, r=2)
+    assert path is not None
+
+    mesh1 = make_mesh((("data", 1),), devices=jax.devices()[:1])
+    ckpt1 = restore_for_mesh(path, mesh1)
+    assert ckpt1["meta"]["step"] == 3 and ckpt1["meta"]["r"] == 2
+    np.testing.assert_array_equal(
+        np.asarray(ckpt1["params"]["enc"]["kernel"]), params["enc"]["kernel"])
+    assert ckpt1["params"]["enc"]["kernel"].sharding.mesh.shape["data"] == 1
+
+    mesh42 = make_mesh((("data", 4), ("model", 2)))
+    ckpt42 = restore_for_mesh(path, mesh42)
+    np.testing.assert_array_equal(
+        np.asarray(ckpt42["params"]["enc"]["bias"]), params["enc"]["bias"])
+
+    # no mesh: plain numpy trees
+    ckpt = restore_for_mesh(path)
+    np.testing.assert_array_equal(ckpt["params"]["enc"]["kernel"],
+                                  params["enc"]["kernel"])

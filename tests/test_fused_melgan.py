@@ -181,7 +181,8 @@ class TestFoldedLayout:
     """Superphase-group fold: the folded packing must be element-wise exact
     vs both the unfolded kernel and the flax generator."""
 
-    @pytest.mark.parametrize("factors,base", [((2, 4), 32), ((2, 8, 2, 2), 96),
+    @pytest.mark.parametrize("factors,base", [((2, 4), 32),
+                                              ((2, 8, 2, 2), 128),
                                               ((4, 2), 32)])
     def test_folded_matches_flax(self, factors, base):
         from tts_tpu.ops.pallas.fused_melgan import fold_start_stage

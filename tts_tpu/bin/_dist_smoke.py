@@ -18,6 +18,7 @@ Usage: python -m tts_tpu.bin.distribute --script _dist_smoke
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 
@@ -101,6 +102,27 @@ def main(argv=None):
             np.asarray(a), np.asarray(b.addressable_data(0)),
             atol=1e-6, rtol=1e-4,
             err_msg=f"diverged at {jax.tree_util.keystr(path)}")
+
+    # --- 3. multi-host checkpoint: process-0-only write + barrier, every
+    # host restores the same values (≙ rank-0 saves, train_tts.py:254-300)
+    import tempfile
+
+    from tts_tpu.train.checkpoint import (restore_for_mesh,
+                                          save_checkpoint_multihost)
+    ckpt_dir = os.environ.get("TTS_TPU_SMOKE_CKPT_DIR",
+                              os.path.join(tempfile.gettempdir(),
+                                           "tts_tpu_dist_smoke_ckpt"))
+    path = save_checkpoint_multihost(ckpt_dir, params=s_dp.params, step=7)
+    assert (path is not None) == (jax.process_index() == 0)
+    restored = restore_for_mesh(os.path.join(ckpt_dir, "checkpoint_7.ckpt"),
+                                mesh)
+    for (rp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(restored["params"]),
+            jax.tree_util.tree_leaves_with_path(s_dp.params)):
+        np.testing.assert_array_equal(
+            np.asarray(a.addressable_data(0)),
+            np.asarray(b.addressable_data(0)),
+            err_msg=f"restore mismatch at {jax.tree_util.keystr(rp)}")
 
     if jax.process_index() == 0:
         print(f"dist_smoke OK: {args.num_processes} processes, "

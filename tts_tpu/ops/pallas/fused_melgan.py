@@ -379,9 +379,13 @@ def _pqmf_tail(sub, sigma, t0, w_ref, j_taps: int, q: int, compute_dtype,
 
 def fold_start_stage(gen) -> int | None:
     """First stage index from which the generator runs folded: channel width
-    <= 64 (so g*C can reach a full 128-sublane tile) and every remaining
-    upsample factor even (polyphase split needs f even). None = no folding."""
+    <= 64 (so g*C can reach a full 128-sublane tile), every remaining
+    upsample factor even (polyphase split needs f even), and every folded
+    channel count divisible by 8 (Mosaic can only concat sublane-aligned row
+    slices — the banded reflect path needs C % 8 == 0). None = no folding."""
     factors = tuple(gen.upsample_factors)
+    if (gen.base_channels >> len(factors)) % 8:
+        return None
     ch = gen.base_channels
     for i, f in enumerate(factors):
         ch //= 2
@@ -447,10 +451,55 @@ def _window_block(xf, sigma_q, t0: int, g: int, C: int, psi: int, mode: str):
     return jnp.concatenate(cols, axis=1)
 
 
-def _folded_operand(xf, sigma_q, t0, g, C, phases, mode):
+def _operand_layout(offsets: Sequence[int], g: int, C: int):
+    """How a folded conv's operand is assembled. ("banded", phases): one
+    (C, Q*t0) block per needed in-group phase — minimal K, but its row
+    slices need C % 8 == 0 (Mosaic sublane alignment). ("views", ns): whole
+    g*C-row group-shifted views — K rounded up to view granularity, row
+    slicing avoided (required when C % 8 != 0, e.g. the PQMF tail's N=4)."""
+    phases = _phases_for(offsets, g)
+    if C % 8 == 0:
+        return "banded", phases
+    ns = tuple(sorted({p // g for p in phases}))
+    return "views", ns
+
+
+def _full_view(xf, sigma_q, t0: int, g: int, n: int, mode: str):
+    """(g*C, Q*t0) group-shifted view: value at (rows, j, u) = folded signal
+    of group sigma_q[j] + n. Built from full-height lane-block slices only
+    (no sublane slicing); edge columns must be zero-mode."""
+    if n == 0:
+        return xf[:]
+    Q = len(sigma_q)
+    assert mode == "zero", "reflect edges need the banded (C%8==0) path"
+    inv_q = {q: j for j, q in enumerate(sigma_q)}
+    rows = xf.shape[0]
+    cols = []
+    for j in range(Q):
+        qs = sigma_q[j] + n
+        carry = qs // Q
+        src = inv_q[qs % Q] * t0
+        blk = xf[:, src:src + t0]
+        if carry == 0:
+            cols.append(blk)
+        elif carry < 0:
+            k = -carry
+            z = jnp.zeros((rows, k), xf.dtype)
+            cols.append(jnp.concatenate([z, blk[:, :t0 - k]], axis=1))
+        else:
+            z = jnp.zeros((rows, carry), xf.dtype)
+            cols.append(jnp.concatenate([blk[:, carry:], z], axis=1))
+    return jnp.concatenate(cols, axis=1)
+
+
+def _folded_operand(xf, sigma_q, t0, g, C, offsets, mode):
+    kind, items = _operand_layout(offsets, g, C)
+    if kind == "banded":
+        return jnp.concatenate(
+            [_window_block(xf, sigma_q, t0, g, C, p, mode) for p in items],
+            axis=0)
     return jnp.concatenate(
-        [_window_block(xf, sigma_q, t0, g, C, p, mode) for p in phases],
-        axis=0)
+        [_full_view(xf, sigma_q, t0, g, n, mode) for n in items], axis=0)
 
 
 def pack_folded_conv(w_dense: Array, c_in: int, offsets: Sequence[int],
@@ -459,9 +508,16 @@ def pack_folded_conv(w_dense: Array, c_in: int, offsets: Sequence[int],
     -> block-banded folded weight (g*C_out, len(phases)*C_in)."""
     w = np.asarray(w_dense)
     c_out = w.shape[0]
-    phases = _phases_for(offsets, g)
-    idx = {p: k for k, p in enumerate(phases)}
-    big = np.zeros((g * c_out, len(phases) * c_in), w.dtype)
+    kind, items = _operand_layout(offsets, g, c_in)
+    if kind == "banded":
+        idx = {p: k for k, p in enumerate(items)}
+        n_blocks = len(items)
+    else:
+        vi = {n: k for k, n in enumerate(items)}
+        idx = {p: vi[p // g] * g + (p % g)
+               for p in _phases_for(offsets, g)}
+        n_blocks = len(items) * g
+    big = np.zeros((g * c_out, n_blocks * c_in), w.dtype)
     for r in range(g):
         for t, d in enumerate(offsets):
             k = idx[r + d]
@@ -492,7 +548,16 @@ def pack_folded_upsample(kernel: Array, factor: int, g_in: int,
     c_in = wa.shape[1] // 2
     c_out = wa.shape[0] // (f // 2)
     g_out = f * g_in
-    big = np.zeros((g_out * c_out, (g_in + 2) * c_in), wa.dtype)
+    kind, items = _operand_layout((-1, 0, 1), g_in, c_in)
+    if kind == "banded":
+        idx = {p: k for k, p in enumerate(items)}
+        n_blocks = len(items)
+    else:
+        vi = {n: k for k, n in enumerate(items)}
+        idx = {p: vi[p // g_in] * g_in + (p % g_in)
+               for p in _phases_for((-1, 0, 1), g_in)}
+        n_blocks = len(items) * g_in
+    big = np.zeros((g_out * c_out, n_blocks * c_in), wa.dtype)
     for r_out in range(g_out):
         p, r_in = r_out % f, r_out // f
         if p < f // 2:
@@ -503,7 +568,7 @@ def pack_folded_upsample(kernel: Array, factor: int, g_in: int,
             taps = [(0, wb[pb * c_out:(pb + 1) * c_out, :c_in]),
                     (1, wb[pb * c_out:(pb + 1) * c_out, c_in:])]
         for d, wslice in taps:
-            k = r_in + d + 1                     # window starts at phase -1
+            k = idx[r_in + d]
             big[r_out * c_out:(r_out + 1) * c_out,
                 k * c_in:(k + 1) * c_in] = wslice
     return jnp.asarray(big, dtype)
@@ -527,8 +592,7 @@ def _folded_upsample_body(x, sigma_q, t0, g_in, w_ref, b_ref, factor,
     (f*g_in*C_out, Q*t0); sigma_q and Q unchanged."""
     c_in = x.shape[0] // max(g_in, 1)
     y = _leaky(x, negative_slope)
-    phases = tuple(range(-1, g_in + 1))
-    cat = _folded_operand(y, sigma_q, t0, g_in, c_in, phases, "zero")
+    cat = _folded_operand(y, sigma_q, t0, g_in, c_in, (-1, 0, 1), "zero")
     out = _folded_matmul(w_ref, cat, b_ref, md)
     return out.astype(compute_dtype)
 
@@ -540,8 +604,7 @@ def _folded_stack_body(x, sigma_q, t0, g, w1_refs, b1_refs, w2_refs, b2_refs,
     for blk in range(num_blocks):
         d = kernel_size ** blk
         y = _leaky(x, negative_slope)
-        phases = _phases_for((-d, 0, d), g)
-        cat1 = _folded_operand(y, sigma_q, t0, g, c, phases, "reflect")
+        cat1 = _folded_operand(y, sigma_q, t0, g, c, (-d, 0, d), "reflect")
         h = _folded_matmul(w1_refs[blk], cat1, b1_refs[blk], md)
         hl = _leaky(h, negative_slope).astype(compute_dtype)
         cat2 = jnp.concatenate([hl, x], axis=0)        # (2*g*C, Q*t0)
@@ -635,7 +698,7 @@ def _make_generator_kernel(factors: Sequence[int], num_res_blocks: int,
                 half = proj_kernel // 2
                 cat = _folded_operand(
                     y, sigma, t0, g, c_last,
-                    _phases_for(tuple(range(-half, half + 1)), g), "reflect")
+                    tuple(range(-half, half + 1)), "reflect")
                 y = _folded_matmul(w_refs[idx], cat, w_refs[idx + 1], md)
                 idx += 2
                 y = jnp.tanh(y)
@@ -644,7 +707,7 @@ def _make_generator_kernel(factors: Sequence[int], num_res_blocks: int,
                     n_sub = sub.shape[0] // g
                     offs = tuple(j - pqmf_q for j in range(pqmf_taps))
                     cat = _folded_operand(sub, sigma, t0, g, n_sub,
-                                          _phases_for(offs, g), "zero")
+                                          offs, "zero")
                     y = _folded_matmul(w_refs[idx], cat, None, md)
             out_ref[item] = y.astype(out_ref.dtype)
 

@@ -23,8 +23,21 @@ from flax import serialization
 from flax.core import unfreeze
 
 
+def _fetch_leaf(x):
+    """Device array -> host numpy, including replicated multi-process global
+    arrays (each process's local shard holds the full value)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        sharding = x.sharding
+        if not sharding.is_fully_replicated:
+            raise ValueError(
+                "checkpointing a non-replicated multi-process array; gather "
+                "it first (trainer states are replicated by design)")
+        x = x.addressable_data(0)
+    return np.asarray(x)
+
+
 def _to_numpy_tree(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    return jax.tree_util.tree_map(_fetch_leaf, tree)
 
 
 def save_checkpoint(
@@ -68,6 +81,36 @@ def save_checkpoint(
 def load_checkpoint(path: str) -> Dict[str, Any]:
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
+
+
+def save_checkpoint_multihost(output_dir: str, **kwargs) -> Optional[str]:
+    """Pod-run checkpoint discipline (TPU equivalent of the reference's
+    rank-0-only saves, train_tts.py:254-300): every host participates in the
+    device fetch (replicated global arrays are addressable everywhere), but
+    only process 0 touches the filesystem; all hosts barrier afterwards so
+    nobody races ahead into a restore of a half-written file."""
+    path = None
+    if jax.process_index() == 0:
+        path = save_checkpoint(output_dir, **kwargs)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("tts_tpu_checkpoint_save")
+    return path
+
+
+def restore_for_mesh(path: str, mesh=None) -> Dict[str, Any]:
+    """Load a checkpoint and (optionally) place params/batch_stats replicated
+    over ``mesh`` — works across host- and device-count changes because the
+    on-disk format is host-invariant numpy (every host loads the same file
+    and forms the same global arrays). ≙ the restore half of
+    /root/reference/TTS/tts/utils/io.py:10-24, generalized to pods."""
+    ckpt = load_checkpoint(path)
+    if mesh is not None:
+        from tts_tpu.parallel.mesh import replicate_global
+        for key in ("params", "batch_stats"):
+            if ckpt.get(key):
+                ckpt[key] = replicate_global(ckpt[key], mesh)
+    return ckpt
 
 
 def save_best_model(
