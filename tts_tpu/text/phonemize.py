@@ -103,9 +103,64 @@ def _rule_g2p_word(word: str) -> str:
     return "".join(out)
 
 
+_VOICELESS_FINAL = set("ptkfθsʃ")
+_SIBILANT_FINAL = set("szʃʒ")
+
+
+def _lexicon_morph(word: str) -> Optional[str]:
+    """Lexicon lookup with regular-inflection morphology: plural/3sg -s,
+    past -ed, progressive -ing, adverbial -ly derive from a known stem with
+    the standard allophonic endings."""
+    from tts_tpu.text.lexicon import default_lexicon
+    lex = default_lexicon()
+    ipa = lex.lookup(word)
+    if ipa is not None:
+        return ipa
+    w = word.lower()
+    if len(w) > 2 and (w.endswith("'s") or
+                       (w.endswith("s") and not w.endswith("ss"))):
+        stem = w[:-2] if w.endswith("'s") else w[:-1]
+        base = lex.lookup(stem)
+        if base:
+            if base[-1] in _SIBILANT_FINAL:
+                return base + "ɪz"
+            return base + ("s" if base[-1] in _VOICELESS_FINAL else "z")
+    if len(w) > 3 and w.endswith("ed"):
+        for stem in (w[:-2], w[:-1]):      # walked -> walk; loved -> love
+            base = lex.lookup(stem)
+            if base:
+                if base[-1] in "td":
+                    return base + "ɪd"
+                return base + ("t" if base[-1] in _VOICELESS_FINAL else "d")
+    if len(w) > 4 and w.endswith("ing"):
+        for stem in (w[:-3], w[:-3] + "e"):  # asking -> ask; making -> make
+            base = lex.lookup(stem)
+            if base:
+                return base + "ɪŋ"
+    if len(w) > 3 and w.endswith("ly"):
+        base = lex.lookup(w[:-2])
+        if base:
+            return base + "li"
+    return None
+
+
+def _no_espeak_word(word: str) -> str:
+    """Lexicon-first G2P: the built-in ARPAbet core lexicon (text/lexicon.py,
+    extendable with a user cmudict via load_user_lexicon) covers the
+    high-frequency irregulars where letter-to-sound rules fail; unknown words
+    fall through to the rules."""
+    if not word:
+        return word
+    ipa = _lexicon_morph(word)
+    if ipa is not None:
+        return ipa
+    return _rule_g2p_word(word)
+
+
 def _rule_phonemize(text: str) -> str:
     parts = PUNCT_RE.split(text)
-    return "".join(p if PUNCT_RE.fullmatch(p) else _rule_g2p_word(p) for p in parts)
+    return "".join(p if PUNCT_RE.fullmatch(p) else _no_espeak_word(p)
+                   for p in parts)
 
 
 @functools.lru_cache(maxsize=65536)
