@@ -39,27 +39,33 @@ def main():
     folded = fold_weight_norm(v["params"])
     print("fold_start_stage:", fm.fold_start_stage(gen))
 
+    import sys
+    variants = {"unfolded": {}, "fold": {"fold": True},
+                "stacked": {"stacked": True}}
+    which = sys.argv[1:] or ["unfolded", "stacked"]
     outs = {}
-    for fold in (False, True):
-        packed = fm.pack_generator_params(gen, folded, fuse_pqmf=True,
-                                          fold=fold)
+    for name in which:
+        kw = variants[name]
+        packed = fm.pack_generator_params(gen, folded, fuse_pqmf=True, **kw)
 
         @jax.jit
         def run(mel, packed):
             return fm.megakernel_generator_apply(gen, packed, mel)
 
         wav = run(mel, packed)
-        outs[fold] = np.asarray(jax.device_get(wav[:2]))
+        outs[name] = np.asarray(jax.device_get(wav[:2]))
 
         @jax.jit
         def runsum(mel, packed):
             return fm.megakernel_generator_apply(gen, packed, mel).sum()
 
         t = timeit(runsum, mel, packed)
-        print(f"fold={fold}: {t*1e3:7.3f} ms / batch {B}")
+        print(f"{name:9s}: {t*1e3:7.3f} ms / batch {B}", flush=True)
 
-    diff = np.abs(outs[True] - outs[False]).max()
-    print(f"max|folded - unfolded| on-device: {diff:.2e}")
+    base = which[0]
+    for name in which[1:]:
+        diff = np.abs(outs[name] - outs[base]).max()
+        print(f"max|{name} - {base}| on-device: {diff:.2e}")
 
 
 if __name__ == "__main__":

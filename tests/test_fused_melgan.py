@@ -235,3 +235,46 @@ class TestFoldedLayout:
                                    np.asarray(want)[:, :16], atol=3e-5)
         np.testing.assert_allclose(np.asarray(got)[:, -16:],
                                    np.asarray(want)[:, -16:], atol=3e-5)
+
+
+class TestStackedTaps:
+    """Tap-stacked (output-shift) packing: one dot per conv on the unshifted
+    input, shifts applied to output pieces — must match flax exactly."""
+
+    @pytest.mark.parametrize("factors,base", [((2, 4), 32),
+                                              ((2, 8, 2, 2), 96)])
+    def test_stacked_matches_flax(self, factors, base):
+        rng = jax.random.PRNGKey(len(factors) + 20)
+        gen = MultibandMelganGenerator(upsample_factors=factors,
+                                       base_channels=base)
+        mel = jax.random.normal(rng, (2, 17, 80))
+        variables = gen.init(rng, mel)
+        folded = fold_weight_norm(variables["params"])
+        plain = gen.clone(use_weight_norm=False)
+        want = plain.apply({"params": folded}, mel)
+        packed = pack_generator_params(gen, folded, stacked=True)
+        got = megakernel_generator_apply(gen, packed, mel, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=1e-4)
+
+    def test_stacked_pqmf_and_edges(self):
+        rng = jax.random.PRNGKey(21)
+        gen = MultibandMelganGenerator(upsample_factors=(2, 4),
+                                       base_channels=32)
+        mel = jax.random.normal(rng, (1, 16, 80))
+        variables = gen.init(rng, mel)
+        folded = fold_weight_norm(variables["params"])
+        plain = gen.clone(use_weight_norm=False)
+        want = plain.apply({"params": folded}, mel,
+                           method=MelganGenerator.inference)
+        want = plain.pqmf.synthesis(want)
+        packed = pack_generator_params(gen, folded, fuse_pqmf=True,
+                                       stacked=True)
+        got = megakernel_inference(gen, packed, mel, interpret=True)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got)[:, :64],
+                                   np.asarray(want)[:, :64], atol=3e-5)
+        np.testing.assert_allclose(np.asarray(got)[:, -64:],
+                                   np.asarray(want)[:, -64:], atol=3e-5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=1e-4)

@@ -36,16 +36,34 @@ def compute_style_mel(style_wav: str, ap) -> np.ndarray:
     return ap.melspectrogram(wav)[None]
 
 
+TEXT_BUCKETS = (32, 64, 96, 128, 192, 256, 384, 512)
+
+
+def bucket_text_length(n: int, buckets=TEXT_BUCKETS) -> int:
+    """Smallest bucket >= n (single-stream serving pads text to a fixed set
+    of lengths so XLA compiles a handful of programs instead of one per
+    sentence length — each cold compile costs minutes through the tunnel).
+    Masked attention makes the padding semantically inert."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return n
+
+
 def run_model(model, variables, inputs: jnp.ndarray,
               c: Dict,
               speaker_id: Optional[int] = None,
               speaker_embedding: Optional[np.ndarray] = None,
               style_mel: Optional[np.ndarray] = None,
               max_decoder_steps: Optional[int] = None,
-              rng: Optional[Any] = None) -> Dict[str, jnp.ndarray]:
+              rng: Optional[Any] = None,
+              text_lengths: Optional[jnp.ndarray] = None
+              ) -> Dict[str, jnp.ndarray]:
     """Model-family dispatch (≙ run_model_torch, synthesis.py:48-67)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     kwargs: Dict[str, Any] = {}
+    if text_lengths is not None:
+        kwargs["text_lengths"] = jnp.asarray(text_lengths, jnp.int32)
     if speaker_id is not None:
         kwargs["speaker_ids"] = jnp.asarray([speaker_id], jnp.int32)
     if speaker_embedding is not None:
@@ -103,12 +121,20 @@ def synthesis(
     'wav' (if GL), 'postnet_outputs' (normalized spectrogram, valid frames
     only), 'alignments'."""
     seq = text_to_seqvec(text, c, tp=tp)
+    n = len(seq)
+    text_lengths = None
+    if c.get("bucket_text", True):
+        b = bucket_text_length(n)
+        if b > n:
+            seq = np.pad(seq, (0, b - n))
+        text_lengths = jnp.asarray([n], jnp.int32)
     inputs = jnp.asarray(seq)[None]
     style_mel = None
     if style_wav is not None and c.get("use_gst", False):
         style_mel = compute_style_mel(style_wav, ap)
     out = run_model(model, variables, inputs, c, speaker_id,
-                    speaker_embedding, style_mel, max_decoder_steps, rng)
+                    speaker_embedding, style_mel, max_decoder_steps, rng,
+                    text_lengths=text_lengths)
     postnet = np.asarray(out["postnet_outputs"])[0]
     if "mel_lengths" in out:
         n_valid = int(np.asarray(out["mel_lengths"])[0])

@@ -210,8 +210,16 @@ class Tacotron2(nn.Module):
     def _encode(self, text: Array, text_lengths: Array, train: bool,
                 speaker_ids: Optional[Array],
                 speaker_embeddings: Optional[Array],
-                style_mel: Optional[Array]) -> Tuple[Array, Array]:
+                style_mel: Optional[Array],
+                mask_embeddings: bool = False) -> Tuple[Array, Array]:
         x = self.embedding(text)
+        if mask_embeddings:
+            # zero pad-position embeddings so the SAME-padded convs see
+            # exactly what an unpadded run would — makes serving's
+            # text-length bucketing bit-equal to per-sentence shapes
+            # (teacher-forced training keeps the reference's unmasked-conv
+            # semantics for torch parity)
+            x = x * sequence_mask(text_lengths, x.shape[1])[..., None]
         enc = self.encoder(x, text_lengths, train=train)
         parts = [enc]
         if self.num_speakers > 1:
@@ -327,7 +335,8 @@ class Tacotron2(nn.Module):
             text_lengths = jnp.full((B,), text.shape[1], dtype=jnp.int32)
         n_steps = max_decoder_steps or self.max_decoder_steps
         enc, mask = self._encode(text, text_lengths, False, speaker_ids,
-                                 speaker_embeddings, style_mel)
+                                 speaker_embeddings, style_mel,
+                                 mask_embeddings=True)
 
         carry = self._init_carry(self.decoder, enc, mask)
         carry["last_frame"] = jnp.zeros((B, self.n_mels), enc.dtype)
@@ -392,7 +401,8 @@ class Tacotron2(nn.Module):
             text_lengths = jnp.full((B,), text.shape[1], dtype=jnp.int32)
         n_steps = max_decoder_steps or self.max_decoder_steps
         enc, mask = self._encode(text, text_lengths, False, speaker_ids,
-                                 speaker_embeddings, style_mel)
+                                 speaker_embeddings, style_mel,
+                                 mask_embeddings=True)
         carry = self._init_carry(self.decoder, enc, mask)
         carry["last_frame"] = jnp.zeros((B, self.n_mels))
         carry["done"] = jnp.zeros((B,), dtype=bool)

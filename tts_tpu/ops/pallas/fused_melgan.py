@@ -156,7 +156,8 @@ def pack_pqmf_synthesis_params(pqmf, dtype=jnp.float32):
 
 
 def pack_generator_params(gen, params: Dict[str, Any], dtype=jnp.float32,
-                          fuse_pqmf: bool = False, fold: bool = None):
+                          fuse_pqmf: bool = False, fold: bool = None,
+                          stacked: bool = None):
     """Pack a FOLDED (use_weight_norm=False) MelGAN-family generator params
     tree into the megakernel's flat operand tuple. When the generator is
     multiband and ``fuse_pqmf``, the PQMF synthesis matmul is appended and
@@ -164,17 +165,45 @@ def pack_generator_params(gen, params: Dict[str, Any], dtype=jnp.float32,
 
     ``fold``: pack the late stages in the superphase-group layout (see the
     fold section below) — the weights of stages >= fold_start_stage(gen),
-    proj_out, and the PQMF tail become block-banded folded matmuls. Default
-    (None) folds whenever the generator geometry supports it; the apply side
-    auto-detects from the tuple length."""
+    proj_out, and the PQMF tail become block-banded folded matmuls. The
+    apply side auto-detects from the tuple length.
+
+    ``stacked``: pack upsamples / stack convs / proj_out in the tap-stacked
+    (output-shift) form — same FLOPs and dot count, no shifted-operand
+    copies or concats (see the tap-stacked section above).
+
+    MEASURED NEGATIVE RESULT (2026-08-20, scripts/profile_mega_fold.py on
+    the real chip): the fold is exact but SLOWER end-to-end (8.04 vs
+    5.40 ms at B128). Root cause per scripts/probe_matmul_shapes.py: dots at
+    1x/2x/3.3x the FLOPs of the unfolded shapes take the SAME wall time —
+    small-M dots do not pay the naive ceil(M/128) tile waste, so filling
+    the tiles buys nothing while the fold's banded/block-diag weight
+    replication adds ~40% real FLOPs. fold defaults to False; the code
+    stays as the measured branch of record."""
     if fold is None:
-        fold = fold_start_stage(gen) is not None
+        fold = False
+    if stacked is None:
+        stacked = False
+    assert not (fold and stacked), "fold and stacked are exclusive packings"
     ff = fold_start_stage(gen) if fold else None
     ops = [pack_proj_params(params["proj_in"]["conv"]["kernel"], dtype),
            jnp.asarray(params["proj_in"]["conv"]["bias"], dtype)]
     g = 1
     for i, factor in enumerate(gen.upsample_factors):
         up = params[f"upsample_{i}"]
+        if stacked:
+            w1s, b1s, w2s, bouts = pack_stack_params(
+                params[f"resstack_{i}"], gen.num_res_blocks, jnp.float32)
+            c = int(w1s.shape[1])
+            # w1 (C, 3C) column blocks [tap -d | 0 | +d] -> M-stacked (3C, C)
+            w1_st = jnp.stack([jnp.concatenate(
+                [w1s[b][:, j * c:(j + 1) * c] for j in range(3)], axis=0)
+                for b in range(gen.num_res_blocks)])
+            ops += [pack_upsample_params_stacked(up["kernel"], factor, dtype),
+                    jnp.asarray(up["bias"], dtype),
+                    w1_st.astype(dtype), b1s.astype(dtype),
+                    w2s.astype(dtype), bouts.astype(dtype)]
+            continue
         if ff is None or i < ff:
             wa, wb = pack_upsample_params(up["kernel"], factor, dtype)
             ops += [wa, wb, jnp.asarray(up["bias"], dtype)]
@@ -196,7 +225,11 @@ def pack_generator_params(gen, params: Dict[str, Any], dtype=jnp.float32,
                     _tile_bias(bouts[blk], g, dtype)]
     po_w = pack_proj_params(params["proj_out"]["conv"]["kernel"], dtype)
     po_b = params["proj_out"]["conv"]["bias"]
-    if ff is not None:
+    if stacked:
+        ops += [pack_proj_params_stacked(
+                    params["proj_out"]["conv"]["kernel"], dtype),
+                jnp.asarray(po_b, dtype)]
+    elif ff is not None:
         k = np.asarray(params["proj_out"]["conv"]["kernel"]).shape[0]
         half = k // 2
         c_last = np.asarray(params["proj_out"]["conv"]["kernel"]).shape[1]
@@ -218,8 +251,11 @@ def pack_generator_params(gen, params: Dict[str, Any], dtype=jnp.float32,
     return tuple(ops)
 
 
-def _packed_len(gen, fold_from, with_pqmf: bool) -> int:
+def _packed_len(gen, fold_from, with_pqmf: bool,
+                stacked: bool = False) -> int:
     s, nrb = len(gen.upsample_factors), gen.num_res_blocks
+    if stacked:
+        return 4 + 6 * s + (1 if with_pqmf else 0)
     ff = s if fold_from is None else fold_from
     return 4 + 7 * ff + (s - ff) * (2 + 4 * nrb) + (1 if with_pqmf else 0)
 
@@ -346,6 +382,116 @@ def _pqmf_tail(sub, sigma, t0, w_ref, j_taps: int, q: int, compute_dtype,
     cat = jnp.concatenate(taps, axis=0)           # (J*N, P*t0)
     return jnp.dot(w_ref[...].astype(md), cat.astype(md),
                    preferred_element_type=jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# Tap-stacked ("output-shift") conv form: the measured VPU-traffic fix.
+#
+# The per-shape probe (scripts/probe_matmul_shapes.py) showed dot cost on
+# this chip is NOT MXU-pass-bound at the megakernel's shapes — the remaining
+# gap to the FLOP roofline is the operand CONSTRUCTION: every conv builds
+# shifted tap copies and concatenates them into a (k*C_in, L) operand
+# (~45 MB/item of VPU copy traffic). Since conv is linear, the taps can
+# instead be stacked in the OUTPUT (M) dimension: one dot
+# H = [W_tap0; W_tap1; ...] @ y  (k*C_out, L) with K = C_in and NO shifted
+# operands, then Y = sum_j true_shift(H_j) — shifts move to the (C_out, L)
+# output pieces. Identical FLOPs and exactness (reflect edges commute with
+# the per-tap linear map); same dot count; tap copies and the operand concat
+# disappear. Wins wherever C_out <= C_in (upsamples, stacks, proj_out);
+# proj_in (C_out >> C_in) and the PQMF tail (C_out == C_in, k=16) keep the
+# concat form.
+# --------------------------------------------------------------------------
+
+
+def pack_proj_params_stacked(kernel: Array, dtype=jnp.float32) -> Array:
+    """Flax conv kernel (k, C_in, C_out) -> (k*C_out, C_in) with row block j
+    = tap j's transposed weight (tap j reads x[t + j - k//2])."""
+    k = np.asarray(kernel)
+    return jnp.asarray(np.concatenate([k[j].T for j in range(k.shape[0])],
+                                      axis=0), dtype)
+
+
+def pack_upsample_params_stacked(kernel: Array, factor: int,
+                                 dtype=jnp.float32) -> Array:
+    """(2f, C_in, C_out) transposed-conv kernel -> one (2f*C_out, C_in)
+    M-stacked weight with row blocks [A_prev; A_cur; B_cur; B_next]
+    (the column splits of pack_upsample_params' wa/wb)."""
+    wa, wb = pack_upsample_params(kernel, factor)
+    wa, wb = np.asarray(wa), np.asarray(wb)
+    c_in = wa.shape[1] // 2
+    return jnp.asarray(np.concatenate(
+        [wa[:, :c_in], wa[:, c_in:], wb[:, :c_in], wb[:, c_in:]], axis=0),
+        dtype)
+
+
+def _conv_head_stacked(x, sigma, t0, w_ref, b_ref, k: int, compute_dtype,
+                       matmul_dtype=None):
+    """k-tap reflect conv, taps stacked in M: one (k*C_out, C_in) dot on the
+    unshifted input, then shift-and-add the output pieces."""
+    md = matmul_dtype or compute_dtype
+    half = k // 2
+    h = jnp.dot(w_ref[...].astype(md), x.astype(md),
+                preferred_element_type=jnp.float32)
+    c_out = h.shape[0] // k
+    acc = b_ref[...].astype(jnp.float32)[:, None] + h[half * c_out:
+                                                      (half + 1) * c_out]
+    for j in range(k):
+        if j == half:
+            continue
+        piece = h[j * c_out:(j + 1) * c_out]
+        d = half - j
+        acc = acc + _true_shift(piece, sigma, t0, abs(d),
+                                +1 if d > 0 else -1, "reflect")
+    return acc
+
+
+def _upsample_body_stacked(x, sigma, t0, w_ref, bias, factor: int,
+                           negative_slope: float, compute_dtype,
+                           matmul_dtype=None):
+    """leaky -> M-stacked polyphase transposed conv (no ym/yp operand
+    copies): H rows [A_prev; A_cur; B_cur; B_next], output-side +-1 shifts."""
+    md = matmul_dtype or compute_dtype
+    f = factor
+    y = _leaky(x, negative_slope)
+    h = jnp.dot(w_ref[...].astype(md), y.astype(md),
+                preferred_element_type=jnp.float32)
+    m = h.shape[0] // 4                               # f/2 * C_out
+    ra = _true_shift(h[:m], sigma, t0, 1, +1, "zero") + h[m:2 * m]
+    rb = h[2 * m:3 * m] + _true_shift(h[3 * m:], sigma, t0, 1, -1, "zero")
+    c_out = 2 * m // f
+    bias_col = bias[...].astype(jnp.float32)[:, None]
+    pieces = [ra[q * c_out:(q + 1) * c_out] + bias_col
+              for q in range(f // 2)]
+    pieces += [rb[q * c_out:(q + 1) * c_out] + bias_col
+               for q in range(f // 2)]
+    out = jnp.concatenate(pieces, axis=1).astype(compute_dtype)
+    return out, compose_phase_order(sigma, f)
+
+
+def _stack_body_stacked(x, sigma, t0, w1, b1, w2, bout, num_blocks: int,
+                        kernel_size: int, negative_slope: float,
+                        compute_dtype, matmul_dtype=None):
+    """Residual stack with the dilated conv's taps stacked in M
+    (w1: (n, 3C, C) row blocks [tap -d; tap 0; tap +d]); the pointwise
+    w2+shortcut keeps the [leaky(h); x] pair matmul."""
+    md = matmul_dtype or compute_dtype
+    c = x.shape[0]
+    for blk in range(num_blocks):
+        d = kernel_size ** blk
+        y = _leaky(x, negative_slope)
+        hs = jnp.dot(w1[blk].astype(md), y.astype(md),
+                     preferred_element_type=jnp.float32)   # (3C, L)
+        h = (hs[c:2 * c]
+             + _true_shift(hs[:c], sigma, t0, d, +1, "reflect")
+             + _true_shift(hs[2 * c:], sigma, t0, d, -1, "reflect")
+             + b1[blk].astype(jnp.float32)[:, None])
+        cat2 = jnp.concatenate([_leaky(h, negative_slope).astype(compute_dtype),
+                                x], axis=0)                # (2C, L)
+        x = (jnp.dot(w2[blk].astype(md), cat2.astype(md),
+                     preferred_element_type=jnp.float32)
+             + bout[blk].astype(jnp.float32)[:, None]
+             ).astype(compute_dtype)
+    return x
 
 
 # --------------------------------------------------------------------------
@@ -635,7 +781,7 @@ def _make_generator_kernel(factors: Sequence[int], num_res_blocks: int,
                            matmul_dtype=None, items_per_block: int = 1,
                            accum_taps: bool = False,
                            pretransposed: bool = False,
-                           fold_from=None):
+                           fold_from=None, stacked_taps: bool = False):
     n_stage = len(factors)
     md = matmul_dtype or compute_dtype
 
@@ -656,6 +802,19 @@ def _make_generator_kernel(factors: Sequence[int], num_res_blocks: int,
             idx = 2
             g = 1
             for i in range(n_stage):
+                if stacked_taps:
+                    w_up, ub = w_refs[idx], w_refs[idx + 1]
+                    w1, b1, w2, bout = w_refs[idx + 2:idx + 6]
+                    idx += 6
+                    x, sigma = _upsample_body_stacked(
+                        x, sigma, t0, w_up, ub, factors[i], negative_slope,
+                        compute_dtype, matmul_dtype)
+                    x = _stack_body_stacked(x, sigma, t0, w1, b1, w2, bout,
+                                            num_res_blocks,
+                                            stack_kernel_size,
+                                            negative_slope, compute_dtype,
+                                            matmul_dtype)
+                    continue
                 if fold_from is None or i < fold_from:
                     wa, wb, ub = w_refs[idx], w_refs[idx + 1], w_refs[idx + 2]
                     w1, b1, w2, bout = w_refs[idx + 3:idx + 7]
@@ -684,7 +843,16 @@ def _make_generator_kernel(factors: Sequence[int], num_res_blocks: int,
                                        num_res_blocks, stack_kernel_size,
                                        negative_slope, compute_dtype, md)
             y = _leaky(x, negative_slope)
-            if fold_from is None:
+            if stacked_taps:
+                y = _conv_head_stacked(y, sigma, t0, w_refs[idx],
+                                       w_refs[idx + 1], proj_kernel,
+                                       compute_dtype, matmul_dtype)
+                y = jnp.tanh(y)
+                if pqmf_taps:
+                    y = _pqmf_tail(y.astype(compute_dtype), sigma, t0,
+                                   w_refs[idx + 2], pqmf_taps, pqmf_q,
+                                   compute_dtype, matmul_dtype, accum_taps)
+            elif fold_from is None:
                 y = _conv_head(y, sigma, t0, w_refs[idx], w_refs[idx + 1],
                                proj_kernel, compute_dtype, matmul_dtype,
                                accum_taps)
@@ -720,7 +888,7 @@ def _make_generator_kernel(factors: Sequence[int], num_res_blocks: int,
                               "negative_slope", "compute_dtype", "pqmf_taps",
                               "pqmf_q", "matmul_dtype", "items_per_block",
                               "accum_taps", "pretransposed", "fold_from",
-                              "interpret"))
+                              "stacked_taps", "interpret"))
 def _fused_generator(mel: Array, weights, factors, num_res_blocks: int,
                      proj_kernel: int, out_channels: int,
                      stack_kernel_size: int = 3, negative_slope: float = 0.2,
@@ -728,6 +896,7 @@ def _fused_generator(mel: Array, weights, factors, num_res_blocks: int,
                      pqmf_q: int = 0, matmul_dtype=None,
                      items_per_block: int = 1, accum_taps: bool = False,
                      pretransposed: bool = False, fold_from=None,
+                     stacked_taps: bool = False,
                      interpret: bool = False) -> Array:
     """mel (B, T, n_mels) -> (B, out_channels, P*T) in PHASE-BLOCK lane
     order (storage block j = true phase phase_order(factors)[j]); callers
@@ -760,7 +929,8 @@ def _fused_generator(mel: Array, weights, factors, num_res_blocks: int,
                                pqmf_q=pqmf_q, matmul_dtype=matmul_dtype,
                                items_per_block=ipb, accum_taps=accum_taps,
                                pretransposed=pretransposed,
-                               fold_from=fold_from),
+                               fold_from=fold_from,
+                               stacked_taps=stacked_taps),
         out_shape=jax.ShapeDtypeStruct((B, out_rows, t_out), mel.dtype),
         grid=(B // ipb,),
         in_specs=[pl.BlockSpec(in_block, lambda b: (b, 0, 0),
@@ -789,14 +959,20 @@ def to_true_time(pb: Array, factors: Sequence[int]) -> Array:
     return wav.reshape(B, t0 * P, C)
 
 
-def _detect_packing(gen, packed) -> Tuple[Any, bool]:
-    """(fold_from, has_pqmf) from the packed tuple's length — folded and
-    unfolded packings have distinct lengths whenever folding applies."""
+def _detect_packing(gen, packed) -> Tuple[Any, bool, bool]:
+    """(fold_from, has_pqmf, stacked) from the packed tuple's length —
+    stacked (4+6S), unfolded (4+7S), and folded packings are all distinct."""
     ff = fold_start_stage(gen)
-    for fold_from in ([None] if ff is None else [ff, None]):
-        for has_pqmf in (False, True):
+    for has_pqmf in (False, True):
+        if len(packed) == _packed_len(gen, None, has_pqmf, stacked=True):
+            # disambiguate vs a (rare) same-length folded packing by the
+            # first upsample weight's stacked shape (2f*C_out, C_in)
+            f0, c_in0 = gen.upsample_factors[0], gen.base_channels
+            if tuple(packed[2].shape) == (2 * f0 * (c_in0 // 2), c_in0):
+                return None, has_pqmf, True
+        for fold_from in ([None] if ff is None else [ff, None]):
             if len(packed) == _packed_len(gen, fold_from, has_pqmf):
-                return fold_from, has_pqmf
+                return fold_from, has_pqmf, False
     raise ValueError(
         f"packed tuple of {len(packed)} ops matches no known layout")
 
@@ -842,9 +1018,9 @@ def megakernel_generator_apply(gen, packed, c: Array, compute_dtype=None,
     gathers lose more than the (already-bf16) MXU could gain."""
     t_frames = c.shape[1]
     ipb = _auto_items_per_block(gen, c.shape[0], t_frames)
-    fold_from, has_pqmf = _detect_packing(gen, packed)
-    assert not (accum_taps and fold_from is not None), \
-        "accum_taps applies to the unfolded packing only"
+    fold_from, has_pqmf, stacked = _detect_packing(gen, packed)
+    assert not (accum_taps and (fold_from is not None or stacked)), \
+        "accum_taps applies to the plain unfolded packing only"
     if pretransposed:
         c = jnp.transpose(c, (0, 2, 1))  # one XLA relayout for the batch
     factors = tuple(gen.upsample_factors)
@@ -859,7 +1035,7 @@ def megakernel_generator_apply(gen, packed, c: Array, compute_dtype=None,
             pqmf_taps=taps, pqmf_q=q, matmul_dtype=matmul_dtype,
             items_per_block=ipb, accum_taps=accum_taps,
             pretransposed=pretransposed, fold_from=fold_from,
-            interpret=interpret)
+            stacked_taps=stacked, interpret=interpret)
         if fold_from is None:
             wav = to_true_time(pb, factors)            # (B, L, N phases)
         else:
@@ -873,7 +1049,7 @@ def megakernel_generator_apply(gen, packed, c: Array, compute_dtype=None,
         compute_dtype=compute_dtype or jnp.float32,
         matmul_dtype=matmul_dtype, items_per_block=ipb,
         accum_taps=accum_taps, pretransposed=pretransposed,
-        fold_from=fold_from, interpret=interpret)
+        fold_from=fold_from, stacked_taps=stacked, interpret=interpret)
     if fold_from is None:
         return to_true_time(pb, factors)
     return to_true_time_folded(pb, factors, fold_from)
