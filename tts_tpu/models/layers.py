@@ -92,10 +92,25 @@ class Tacotron2Encoder(nn.Module):
     hidden_channels: int = 512
 
     @nn.compact
-    def __call__(self, x: Array, input_lengths: Array, train: bool = True) -> Array:
+    def __call__(self, x: Array, input_lengths: Array, train: bool = True,
+                 mask_pads: bool = False) -> Array:
+        mask = None
+        if mask_pads:
+            # zero pad positions after every conv so each layer sees exactly
+            # the SAME-padding zeros an unpadded run would (bias/BN give pad
+            # columns nonzero outputs otherwise, which the next conv's
+            # receptive field reads near the boundary) — makes serving's
+            # text-length bucketing bit-exact; training keeps the
+            # reference's unmasked-conv semantics for torch parity
+            from tts_tpu.ops.masking import sequence_mask
+            mask = sequence_mask(input_lengths, x.shape[1]
+                                 ).astype(x.dtype)[..., None]
+            x = x * mask
         for i in range(3):
             x = ConvBNBlock(self.hidden_channels, 5, activation="relu",
                             name=f"conv_{i}")(x, train)
+            if mask is not None:
+                x = x * mask
         # BiLSTM, half the channels each direction. Padded region is excluded
         # downstream via attention masks (≙ packed sequences in the reference).
         lstm = nn.RNN(nn.OptimizedLSTMCell(self.hidden_channels // 2),

@@ -213,14 +213,12 @@ class Tacotron2(nn.Module):
                 style_mel: Optional[Array],
                 mask_embeddings: bool = False) -> Tuple[Array, Array]:
         x = self.embedding(text)
-        if mask_embeddings:
-            # zero pad-position embeddings so the SAME-padded convs see
-            # exactly what an unpadded run would — makes serving's
-            # text-length bucketing bit-equal to per-sentence shapes
-            # (teacher-forced training keeps the reference's unmasked-conv
-            # semantics for torch parity)
-            x = x * sequence_mask(text_lengths, x.shape[1])[..., None]
-        enc = self.encoder(x, text_lengths, train=train)
+        # mask_embeddings: serving's text-length bucketing — zero every pad
+        # position through the conv stack so the bucketed run is bit-equal
+        # to the unpadded one (see Tacotron2Encoder.mask_pads); the BiLSTM
+        # is already length-exact via flax seq_lengths reversal
+        enc = self.encoder(x, text_lengths, train=train,
+                           mask_pads=mask_embeddings)
         parts = [enc]
         if self.num_speakers > 1:
             if self.external_speaker_dim > 0:
