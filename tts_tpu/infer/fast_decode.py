@@ -35,6 +35,12 @@ def taco2_fused_encode(model: Tacotron2, variables: Dict[str, Any],
     params = variables["params"]
     stats = variables["batch_stats"]
     x = jnp.take(params["embedding"]["embedding"], text, axis=0)
+    # pad-position masking through the conv stack, matching
+    # Tacotron2Encoder(mask_pads=True) inference semantics (bit-exact
+    # text-length bucketing; models/layers.py)
+    pad_mask = sequence_mask(text_lengths, text.shape[1]
+                             ).astype(x.dtype)[..., None]
+    x = x * pad_mask
     enc_p, enc_s = params["encoder"], stats["encoder"]
     for i in range(3):
         x = nn.Conv(model.encoder_dim, (5,), padding="SAME",
@@ -44,6 +50,7 @@ def taco2_fused_encode(model: Tacotron2, variables: Dict[str, Any],
             {"params": enc_p[f"conv_{i}"]["bn"],
              "batch_stats": enc_s[f"conv_{i}"]["bn"]}, x)
         x = nn.relu(x)
+        x = x * pad_mask
     wf, bf, wb, bb = pack_bilstm_params(enc_p)
     enc = fused_bilstm(x, text_lengths, wf, bf, wb, bb,
                        compute_dtype=compute_dtype, interpret=interpret)
