@@ -195,8 +195,10 @@ class TestGlowTTSModel:
         b = _batch()
         v = model.init({"params": RNG, "dropout": RNG}, b["text"],
                        b["text_lengths"], b["mel"], b["mel_lengths"])
-        out = model.apply(v, b["text"], b["text_lengths"], b["mel"],
-                          b["mel_lengths"], rngs={"dropout": RNG})
+        # TDS carries BatchNorm running stats — mutable in train mode
+        out, _ = model.apply(v, b["text"], b["text_lengths"], b["mel"],
+                             b["mel_lengths"], rngs={"dropout": RNG},
+                             mutable=["batch_stats"])
         assert np.isfinite(float(glow_tts_loss(out, b["text_lengths"])["loss"]))
 
 

@@ -208,3 +208,94 @@ def test_inference_parity_deterministic(ref_glow):
     for b in range(text.shape[0]):
         n = min(int(lengths[b]), y_ref.shape[1])
         np.testing.assert_allclose(got[b, :n], y_ref[b, :n], atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# alternative encoder types (gatedconv / time-depth-separable)
+# (≙ encoder.py:87-105, gated_conv.py:6-44, time_depth_sep_conv.py:5-92)
+# ---------------------------------------------------------------------------
+
+def _ref_glow_alt(encoder_type):
+    from TTS.tts.models.glow_tts import GlowTts
+
+    torch.manual_seed(0)
+    model = GlowTts(num_chars=50, hidden_channels=64, filter_channels=128,
+                    filter_channels_dp=64, out_channels=80, kernel_size=3,
+                    num_heads=2, num_layers_enc=2, dropout_p=0.1,
+                    num_flow_blocks_dec=3, kernel_size_dec=5, dilation_rate=1,
+                    num_block_layers=2, dropout_p_dec=0.05, num_speakers=0,
+                    c_in_channels=0, num_splits=4, num_sqz=2,
+                    sigmoid_scale=False, mean_only=True,
+                    hidden_channels_enc=64, hidden_channels_dec=64,
+                    use_encoder_prenet=True, encoder_type=encoder_type)
+    return model
+
+
+def _our_glow_alt(encoder_type):
+    from tts_tpu.models.glow_tts import GlowTTS
+    return GlowTTS(num_chars=50, hidden_channels_enc=64,
+                   hidden_channels_dec=64, filter_channels=128,
+                   filter_channels_dp=64, num_heads=2, num_layers_enc=2,
+                   num_flow_blocks_dec=3, num_block_layers=2,
+                   kernel_size_dec=5, dilation_rate=1, num_sqz=2,
+                   mean_only=True, rel_attn_window_size=None,
+                   use_encoder_prenet=True, mas_impl="jnp",
+                   encoder_type=encoder_type)
+
+
+@pytest.mark.parametrize("encoder_type",
+                         ["gatedconv", "time-depth-separable"])
+def test_alt_encoder_training_forward_parity(encoder_type):
+    import jax
+    import jax.numpy as jnp
+    from flax.core import unfreeze
+
+    from tts_tpu.compat.torch_port import (port_glow_tts,
+                                           port_glow_tts_batch_stats)
+
+    ref = _ref_glow_alt(encoder_type)
+    text, text_lengths, mel, mel_lengths = _inputs()
+
+    if encoder_type == "time-depth-separable":
+        # populate non-trivial BatchNorm running stats, then freeze them
+        ref.train()
+        with torch.no_grad():
+            ref(torch.from_numpy(text), torch.from_numpy(text_lengths),
+                torch.from_numpy(mel.transpose(0, 2, 1)),
+                torch.from_numpy(mel_lengths))
+    ref.eval()
+    with torch.no_grad():
+        z, logdet, y_mean, y_log_scale, attn, o_dur_log, o_attn_dur = \
+            ref(torch.from_numpy(text), torch.from_numpy(text_lengths),
+                torch.from_numpy(mel.transpose(0, 2, 1)),
+                torch.from_numpy(mel_lengths))
+
+    ours = _our_glow_alt(encoder_type)
+    rng = jax.random.PRNGKey(0)
+    template = ours.init(
+        {"params": rng, "dropout": rng, "noise": rng},
+        jnp.zeros((1, 8), jnp.int32), jnp.array([8], jnp.int32),
+        jnp.zeros((1, 12, 80)), jnp.array([12], jnp.int32), train=False)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = port_glow_tts(sd, unfreeze(template["params"]),
+                           num_layers_enc=2, num_flow_blocks=3,
+                           num_coupling_layers=2, mean_only=True,
+                           encoder_type=encoder_type)
+    variables = {"params": params}
+    if "batch_stats" in template:
+        variables["batch_stats"] = port_glow_tts_batch_stats(
+            sd, unfreeze(template["batch_stats"]), num_layers=3 + 2)
+
+    out = ours.apply(variables, _jnp(text), _jnp(text_lengths), _jnp(mel),
+                     _jnp(mel_lengths), train=False,
+                     rngs={"dropout": jax.random.PRNGKey(0)})
+
+    np.testing.assert_allclose(np.asarray(out["z"]).transpose(0, 2, 1),
+                               z.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["alignments"]),
+                               attn.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["y_mean"]).transpose(0, 2, 1),
+                               y_mean.numpy(), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["o_dur_log"])[:, :, 0], o_dur_log.numpy()[:, 0, :],
+        atol=1e-4)

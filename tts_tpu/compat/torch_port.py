@@ -264,13 +264,16 @@ def port_glow_tts(state_dict: Dict[str, np.ndarray],
                   num_flow_blocks: int = 12,
                   num_coupling_layers: int = 4,
                   use_prenet: bool = True,
-                  mean_only: bool = True) -> Dict[str, Any]:
-    """Reference GlowTts (transformer encoder) state dict -> our params tree.
+                  mean_only: bool = True,
+                  encoder_type: str = "transformer") -> Dict[str, Any]:
+    """Reference GlowTts state dict -> our params tree (all 3 encoder types).
 
     ``template`` is the params dict from ``GlowTTS(...).init(...)`` (unfrozen)
     — needed because flax WeightNorm scale slots are path-keyed; everything
     else is overwritten in place. Covers the reference's standard config
     (TTS/tts/utils/generic_utils.py:105-133 hard-coded glow hparams).
+    For ``time-depth-separable`` the BatchNorm running stats live in the
+    batch_stats collection — port them with ``port_glow_tts_batch_stats``.
     """
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
 
@@ -285,12 +288,33 @@ def port_glow_tts(state_dict: Dict[str, np.ndarray],
     enc = params["encoder"]
     enc["emb"]["embedding"] = sd["encoder.emb.weight"].copy()
 
-    if use_prenet:
+    # gatedconv takes no prenet (≙ encoder.py:87-91)
+    if use_prenet and encoder_type in ("transformer", "time-depth-separable"):
         pre = enc["prenet"]
         for i in range(3):
             pre[f"conv_{i}"] = _conv_params(sd, f"encoder.pre.conv_layers.{i}")
             pre[f"ln_{i}"] = _ln(sd, f"encoder.pre.norm_layers.{i}")
         pre["proj"] = _conv_params(sd, "encoder.pre.proj")
+
+    if encoder_type == "gatedconv":
+        gc = enc["encoder"]
+        for i in range(3 + num_layers_enc):
+            gc[f"conv_{i}"] = _conv_params(
+                sd, f"encoder.encoder.conv_layers.{i}")
+            gc[f"ln_{i}"] = _ln(sd, f"encoder.encoder.norm_layers.{i}")
+    elif encoder_type == "time-depth-separable":
+        tds = enc["encoder"]
+        for i in range(3 + num_layers_enc):
+            layer, ref = tds[f"layer_{i}"], f"encoder.encoder.layers.{i}"
+            for conv in ("time_conv", "depth_conv", "time_conv2"):
+                layer[conv] = _conv_params(sd, f"{ref}.{conv}")
+            for j in (1, 2, 3):
+                layer[f"norm{j}"] = {
+                    "scale": sd[f"{ref}.norm{j}.weight"].copy(),
+                    "bias": sd[f"{ref}.norm{j}.bias"].copy()}
+    if encoder_type != "transformer":
+        return _finish_glow_port(sd, params, num_flow_blocks,
+                                 num_coupling_layers, mean_only)
 
     tr = enc["encoder"]
     for i in range(num_layers_enc):
@@ -313,6 +337,15 @@ def port_glow_tts(state_dict: Dict[str, np.ndarray],
                           "conv2": _conv_params(sd, f"{f}.conv_2")}
         tr[f"ln2_{i}"] = _ln(sd, f"encoder.encoder.norm_layers_2.{i}")
 
+    return _finish_glow_port(sd, params, num_flow_blocks,
+                             num_coupling_layers, mean_only)
+
+
+def _finish_glow_port(sd, params, num_flow_blocks, num_coupling_layers,
+                      mean_only):
+    """Shared tail of the GlowTts port: projections, duration predictor,
+    flow decoder (encoder-type independent)."""
+    enc = params["encoder"]
     enc["proj_mean"] = _conv_params(sd, "encoder.proj_m")
     if not mean_only:
         enc["proj_scale"] = _conv_params(sd, "encoder.proj_s")
@@ -346,6 +379,31 @@ def port_glow_tts(state_dict: Dict[str, np.ndarray],
         if f"{cp}.wn.cond_layer.weight_v" in sd:
             _set_weight_normed_conv(wn, "cond_layer", sd, f"{cp}.wn.cond_layer")
     return params
+
+
+def port_glow_tts_batch_stats(state_dict: Dict[str, np.ndarray],
+                              template: Dict[str, Any],
+                              num_layers: int) -> Dict[str, Any]:
+    """BatchNorm running stats for the time-depth-separable encoder
+    (≙ time_depth_sep_conv.py norm1/2/3 running_mean/var). ``template`` is
+    the unfrozen batch_stats collection from init; ``num_layers`` is the
+    total TDS depth (3 + num_layers_enc)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def copy_tree(node):
+        if isinstance(node, dict):
+            return {k: copy_tree(v) for k, v in node.items()}
+        return np.array(node)
+
+    stats = copy_tree(template)
+    tds = stats["encoder"]["encoder"]
+    for i in range(num_layers):
+        ref = f"encoder.encoder.layers.{i}"
+        for j in (1, 2, 3):
+            tds[f"layer_{i}"][f"norm{j}"] = {
+                "mean": sd[f"{ref}.norm{j}.running_mean"].copy(),
+                "var": sd[f"{ref}.norm{j}.running_var"].copy()}
+    return stats
 
 
 # ---------------------------------------------------------------------------

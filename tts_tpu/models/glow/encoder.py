@@ -45,7 +45,9 @@ class DurationPredictor(nn.Module):
 
 
 class GatedConvBlock(nn.Module):
-    """Stack of GLU convs with layer norm + residual (≙ gated_conv.py:6-44)."""
+    """Stack of GLU convs with channel layer norm + residual
+    (≙ gated_conv.py:6-44: per layer dropout -> conv(o*mask) -> LN -> GLU ->
+    residual; the final output is returned unmasked, like the reference)."""
 
     hidden_channels: int
     kernel_size: int = 5
@@ -54,19 +56,53 @@ class GatedConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, x_mask: Array, train: bool = True) -> Array:
+        o = x
         res = x
         for i in range(self.num_layers):
-            y = nn.Conv(2 * self.hidden_channels, (self.kernel_size,),
-                        padding="SAME", name=f"conv_{i}")(x * x_mask)
-            y = nn.LayerNorm(epsilon=1e-4, scale_init=nn.initializers.constant(0.1), name=f"ln_{i}")(y)
-            y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
-            a, b = jnp.split(y, 2, axis=-1)
-            x = res = res + a * jax.nn.sigmoid(b)
-        return x * x_mask
+            o = nn.Dropout(self.dropout_rate, deterministic=not train)(o)
+            o = nn.Conv(2 * self.hidden_channels, (self.kernel_size,),
+                        padding="SAME", name=f"conv_{i}")(o * x_mask)
+            o = nn.LayerNorm(epsilon=1e-4,
+                             scale_init=nn.initializers.constant(0.1),
+                             name=f"ln_{i}")(o)
+            a, b = jnp.split(o, 2, axis=-1)
+            o = res + a * jax.nn.sigmoid(b)
+            res = o
+        return o
+
+
+class TimeDepthSeparableConv(nn.Module):
+    """One TDS layer (≙ time_depth_sep_conv.py:5-62): 1x1-GLU -> depthwise ->
+    swish -> 1x1, BatchNorm after every conv, residual around the whole layer.
+    torch BatchNorm1d momentum 0.1 == flax momentum 0.9."""
+
+    hid_channels: int
+    out_channels: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        x_res = x
+        x = nn.Conv(2 * self.hid_channels, (1,), name="time_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="norm1")(x)
+        a, b = jnp.split(x, 2, axis=-1)
+        x = a * jax.nn.sigmoid(b)
+        x = nn.Conv(self.hid_channels, (self.kernel_size,),
+                    feature_group_count=self.hid_channels, padding="SAME",
+                    name="depth_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="norm2")(x)
+        x = x * jax.nn.sigmoid(x)
+        x = nn.Conv(self.out_channels, (1,), name="time_conv2")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="norm3")(x)
+        return x_res + x
 
 
 class TimeDepthSeparableConvBlock(nn.Module):
-    """Depthwise-in-time + pointwise conv stack (≙ time_depth_sep_conv.py:5-92)."""
+    """TDS layer chain, each on masked input (≙ time_depth_sep_conv.py:65-92;
+    the encoder wires in == hid == out so every layer's residual is valid)."""
 
     hidden_channels: int
     kernel_size: int = 5
@@ -74,18 +110,11 @@ class TimeDepthSeparableConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, x_mask: Array, train: bool = True) -> Array:
-        x = nn.Conv(self.hidden_channels, (1,), name="proj_in")(x * x_mask)
         for i in range(self.num_layers):
-            y = nn.Conv(self.hidden_channels, (self.kernel_size,),
-                        feature_group_count=self.hidden_channels,
-                        padding="SAME", name=f"depth_{i}")(x * x_mask)
-            y = nn.LayerNorm(epsilon=1e-4, scale_init=nn.initializers.constant(0.1), name=f"ln_a_{i}")(y)
-            x = x + y
-            y = nn.Conv(2 * self.hidden_channels, (1,), name=f"point_{i}")(x)
-            y = nn.LayerNorm(epsilon=1e-4, scale_init=nn.initializers.constant(0.1), name=f"ln_b_{i}")(y)
-            a, b = jnp.split(y, 2, axis=-1)
-            x = x + a * jax.nn.sigmoid(b)
-        return x * x_mask
+            x = TimeDepthSeparableConv(
+                self.hidden_channels, self.hidden_channels, self.kernel_size,
+                name=f"layer_{i}")(x * x_mask, train=train)
+        return x
 
 
 class GlowTTSEncoder(nn.Module):
@@ -121,7 +150,8 @@ class GlowTTSEncoder(nn.Module):
         x_mask = sequence_mask(x_lengths, x_ids.shape[1]
                                ).astype(x.dtype)[..., None]
 
-        if self.use_prenet and self.encoder_type == "transformer":
+        if self.use_prenet and self.encoder_type in ("transformer",
+                                                     "time-depth-separable"):
             x = ConvLayerNorm(self.hidden_channels, self.hidden_channels,
                               kernel_size=5, num_layers=3, dropout_rate=0.5,
                               name="prenet")(x, x_mask, train=train)
@@ -131,12 +161,16 @@ class GlowTTSEncoder(nn.Module):
                 self.num_layers, self.kernel_size, self.dropout_rate,
                 self.rel_attn_window_size, name="encoder")(x, x_mask, train=train)
         elif self.encoder_type == "gatedconv":
+            # no prenet; depth 3 + num_layers (≙ encoder.py:87-91)
             x = GatedConvBlock(self.hidden_channels, kernel_size=5,
-                               num_layers=9, name="encoder")(x, x_mask,
-                                                             train=train)
+                               num_layers=3 + self.num_layers,
+                               dropout_rate=self.dropout_rate,
+                               name="encoder")(x, x_mask, train=train)
         elif self.encoder_type == "time-depth-separable":
+            # (≙ encoder.py:92-105): prenet + 3 + num_layers TDS layers
             x = TimeDepthSeparableConvBlock(
-                self.hidden_channels, kernel_size=5, num_layers=3,
+                self.hidden_channels, kernel_size=5,
+                num_layers=3 + self.num_layers,
                 name="encoder")(x, x_mask, train=train)
         else:
             raise ValueError(f"unknown encoder type {self.encoder_type}")
