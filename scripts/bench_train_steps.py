@@ -12,7 +12,11 @@ block_until_ready does not fence; see CLAUDE.md). Prints steps/s and
 mel-frames/s per step shape.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -51,7 +55,7 @@ def taco2_batch(rng, r=2):
     }
 
 
-def bench_tacotron2():
+def bench_tacotron2(mixed_precision=False):
     from tts_tpu.models.tacotron2 import Tacotron2
     from tts_tpu.train.optim import make_optimizer
     from tts_tpu.train.state import create_train_state, make_train_step
@@ -61,7 +65,7 @@ def bench_tacotron2():
     model = Tacotron2(num_chars=128, r=2)
     tx = make_optimizer(lr=1e-4, grad_clip=5.0)
     state = create_train_state(model, rng, batch, tx)
-    step = make_train_step(model, jit=True)
+    step = make_train_step(model, jit=True, mixed_precision=mixed_precision)
 
     holder = {"state": state}
 
@@ -70,7 +74,7 @@ def bench_tacotron2():
         return losses["loss"]
 
     t = _time_steps(run_one)
-    report("tacotron2", t)
+    report("tacotron2_bf16" if mixed_precision else "tacotron2", t)
 
 
 def bench_glow():
@@ -134,7 +138,7 @@ def bench_gan():
                                make_optimizer(lr=1e-4),
                                make_optimizer(lr=1e-4))
     step = make_gan_train_step(gen, disc, hop_len=hop, conv_pad=0,
-                               train_disc=True)
+                               train_disc=True, use_pqmf=True)
     holder = {"sg": sg, "sd": sd}
 
     def run_one():
@@ -160,6 +164,8 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "taco2"):
         bench_tacotron2()
+    if which in ("all", "taco2_bf16"):
+        bench_tacotron2(mixed_precision=True)
     if which in ("all", "glow"):
         bench_glow()
     if which in ("all", "gan"):

@@ -221,3 +221,46 @@ class TestWeightNormFolding:
             {"params": folded}, mel, method=gen.inference)
         np.testing.assert_allclose(np.asarray(y_wn), np.asarray(y_folded),
                                    atol=1e-5)
+
+
+class TestDiscriminatorLowering:
+    @pytest.mark.parametrize("lowering", ["tap_shift", "hybrid"])
+    def test_lowering_matches_conv(self, lowering):
+        """GroupedStridedConv (TPU lowerings) is math-identical to the XLA
+        grouped conv and shares its param tree (melgan.py)."""
+        from tts_tpu.models.vocoder.melgan import MelganDiscriminator
+
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.normal(rng, (2, 1024, 1))
+        d_conv = MelganDiscriminator(conv_lowering="conv")
+        d_tap = MelganDiscriminator(conv_lowering=lowering)
+        v = d_conv.init(rng, x)
+        s1, f1 = d_conv.apply(v, x)
+        s2, f2 = d_tap.apply(v, x)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+        for a, b in zip(f1, f2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+    @pytest.mark.parametrize("lowering", ["tap_shift", "hybrid"])
+    def test_lowering_grads_match(self, lowering):
+        from tts_tpu.models.vocoder.melgan import MelganDiscriminator
+
+        rng = jax.random.PRNGKey(1)
+        x = jax.random.normal(rng, (2, 512, 1))
+        d_conv = MelganDiscriminator(conv_lowering="conv")
+        d_tap = MelganDiscriminator(conv_lowering=lowering)
+        v = d_conv.init(rng, x)
+
+        def loss(params, model):
+            s, _ = model.apply({"params": params}, x)
+            return jnp.sum(s ** 2)
+
+        g1 = jax.grad(loss)(v["params"], d_conv)
+        g2 = jax.grad(loss)(v["params"], d_tap)
+        flat1 = jax.tree_util.tree_leaves_with_path(g1)
+        flat2 = dict(jax.tree_util.tree_leaves_with_path(g2))
+        for path, a in flat1:
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(flat2[path]), atol=1e-4,
+                err_msg=str(path))

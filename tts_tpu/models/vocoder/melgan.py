@@ -12,9 +12,112 @@ from __future__ import annotations
 from typing import Sequence, Tuple, List
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
+
+
+import functools
+
+from jax import lax
+
+
+def _grouped_conv_impl(x, kernel, stride, groups):
+    pad = (kernel.shape[0] - 1) // 2
+    dn = lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                    ("NWC", "WIO", "NWC"))
+    return lax.conv_general_dilated(
+        x, kernel, (stride,), [(pad, pad)], feature_group_count=groups,
+        dimension_numbers=dn)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _grouped_conv_hybrid(x, kernel, stride, groups):
+    """Grouped strided conv whose WEIGHT gradient bypasses XLA's conv-wgrad.
+
+    MEASURED NEGATIVE RESULT (kept as the record): the MelGAN
+    discriminator's grouped convs are near-depthwise (1->4 or 4->4 channels
+    per group, kernel 41) and grad[D real+fake] is 131 ms of the 160 ms GAN
+    step at B=32 (scripts/profile_gan_step.py) — but BOTH replacement
+    lowerings lose to XLA's conv paths: this hybrid (conv fwd/dgrad +
+    tap-einsum wgrad) measured 194.4 ms/step, and the full tap-shift
+    forward 958.9 ms/step. The per-tap slices+einsums pay more HBM traffic
+    than XLA's conv decomposition saves (and jax.vjp in the bwd re-runs the
+    fwd conv). Do not revisit without a fused (Pallas) wgrad hypothesis."""
+    return _grouped_conv_impl(x, kernel, stride, groups)
+
+
+def _grouped_conv_hybrid_fwd(x, kernel, stride, groups):
+    return _grouped_conv_impl(x, kernel, stride, groups), (x, kernel)
+
+
+def _grouped_conv_hybrid_bwd(stride, groups, res, dy):
+    x, kernel = res
+    k, m, cout = kernel.shape
+    g, n = groups, cout // groups
+    B, L, _ = x.shape
+    l_out = dy.shape[1]
+    pad = (k - 1) // 2
+    # dx: XLA's conv transpose (not the slow path)
+    _, vjp_x = jax.vjp(
+        lambda xx: _grouped_conv_impl(xx, kernel, stride, groups), x)
+    dx, = vjp_x(dy)
+    # dW[t] = <x strided-sliced at tap t, dy> contracted over batch and time
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+    dyg = dy.reshape(B, l_out, g, n)
+    dW = jnp.stack([
+        jnp.einsum(
+            "blgm,blgn->mgn",
+            lax.slice_in_dim(xp, t, t + stride * (l_out - 1) + 1, stride,
+                             axis=1).reshape(B, l_out, g, m),
+            dyg)
+        for t in range(k)]).reshape(k, m, cout)
+    return dx, dW
+
+
+_grouped_conv_hybrid.defvjp(_grouped_conv_hybrid_fwd,
+                            _grouped_conv_hybrid_bwd)
+
+
+class GroupedStridedConv(nn.Module):
+    """Grouped strided 1d conv, selectable lowering (see
+    _grouped_conv_hybrid). Param tree matches ``nn.Conv(features, (k,),
+    strides, feature_group_count=groups)`` (kernel (k, in/g, features),
+    bias) so checkpoints interchange.
+
+    mode "hybrid": XLA conv fwd/dgrad + tap-einsum wgrad (194 ms GAN step).
+    mode "tap_shift": full tap-shift forward (959 ms). Both SLOWER than the
+    plain XLA grouped conv (160 ms); kept as the recorded negatives."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    groups: int
+    mode: str = "hybrid"
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        B, L, cin = x.shape
+        k, g = self.kernel_size, self.groups
+        m = cin // g                       # in-channels per group
+        n = self.features // g             # out-channels per group
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, m, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.mode == "hybrid":
+            return _grouped_conv_hybrid(x, kernel, self.stride, g) + bias
+        pad = (k - 1) // 2
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+        l_out = (L + 2 * pad - k) // self.stride + 1
+        w = kernel.reshape(k, m, g, n)
+        out = jnp.zeros((B, l_out, g, n), x.dtype)
+        for t in range(k):
+            sl = jax.lax.slice_in_dim(
+                xp, t, t + self.stride * (l_out - 1) + 1, self.stride, axis=1)
+            out = out + jnp.einsum("blgm,mgn->blgn",
+                                   sl.reshape(B, l_out, g, m), w[t])
+        return out.reshape(B, l_out, self.features) + bias
 
 
 def _reflect_pad_t(x: Array, pad: int) -> Array:
@@ -141,6 +244,12 @@ class MelganDiscriminator(nn.Module):
     base_channels: int = 16
     max_channels: int = 1024
     downsample_factors: Sequence[int] = (4, 4, 4, 4)
+    # "auto" == "conv": BOTH alternative lowerings measured SLOWER in the
+    # full GAN step at B=32 (conv 160.7 ms, hybrid-wgrad 194.4, tap_shift
+    # 958.9 — scripts/profile_gan_step.py + bench_train_steps.py 2026-08-20);
+    # XLA's grouped-conv paths win despite the near-depthwise shapes. Kept
+    # selectable as the measured record.
+    conv_lowering: str = "auto"
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, List[Array]]:
@@ -152,16 +261,24 @@ class MelganDiscriminator(nn.Module):
         y = nn.leaky_relu(y, 0.2)
         feats.append(y)
 
+        lowering = self.conv_lowering
+        if lowering == "auto":
+            lowering = "conv"
         ch = self.base_channels
         for i, df in enumerate(self.downsample_factors):
             ch = min(ch * df, self.max_channels)
             groups = max(1, ch // 4)
             ks = df * 10 + 1
-            y = nn.WeightNorm(nn.Conv(
-                ch, (ks,), strides=(df,),
-                padding=[((ks - 1) // 2, (ks - 1) // 2)],
-                feature_group_count=min(groups, y.shape[-1]),
-                name=f"down_{i}"))(y)
+            g = min(groups, y.shape[-1])
+            if lowering in ("hybrid", "tap_shift"):
+                y = nn.WeightNorm(GroupedStridedConv(
+                    ch, ks, df, g, mode=lowering, name=f"down_{i}"))(y)
+            else:
+                y = nn.WeightNorm(nn.Conv(
+                    ch, (ks,), strides=(df,),
+                    padding=[((ks - 1) // 2, (ks - 1) // 2)],
+                    feature_group_count=g,
+                    name=f"down_{i}"))(y)
             y = nn.leaky_relu(y, 0.2)
             feats.append(y)
 
@@ -180,6 +297,7 @@ class MelganMultiscaleDiscriminator(nn.Module):
 
     num_scales: int = 3
     pooling_kernel: int = 4
+    conv_lowering: str = "auto"
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[List[Array], List[List[Array]]]:
@@ -190,7 +308,8 @@ class MelganMultiscaleDiscriminator(nn.Module):
                 y = nn.avg_pool(y, (self.pooling_kernel,),
                                 strides=(self.pooling_kernel // 2,),
                                 padding=[(1, 1)])
-            s, f = MelganDiscriminator(name=f"disc_{i}")(y)
+            s, f = MelganDiscriminator(conv_lowering=self.conv_lowering,
+                                       name=f"disc_{i}")(y)
             scores.append(s)
             feats.append(f)
         return scores, feats

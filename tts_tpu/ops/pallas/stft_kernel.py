@@ -59,20 +59,25 @@ def _mag_fwd(frames2d: jnp.ndarray, wr: jnp.ndarray, wi: jnp.ndarray,
              tile: int, interpret: bool) -> jnp.ndarray:
     N, n_fft = frames2d.shape
     bins = wr.shape[1]
-    grid = (pl.cdiv(N, tile),)
+    # bins are tiled into the grid so the DFT-bank blocks stay small: at
+    # n_fft=2048 the full (n_fft, 1025) banks are 8.4 MB each, which blows
+    # the 16 MB scoped-VMEM limit (measured compile OOM in the GAN-loss
+    # graph); frames are re-read once per bins tile, a few MB of traffic
+    btile = min(bins, 256)
+    grid = (pl.cdiv(N, tile), pl.cdiv(bins, btile))
     return pl.pallas_call(
         _mag_kernel,
         out_shape=jax.ShapeDtypeStruct((N, bins), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile, n_fft), lambda i: (i, 0),
+            pl.BlockSpec((tile, n_fft), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, bins), lambda i: (0, 0),
+            pl.BlockSpec((n_fft, btile), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, bins), lambda i: (0, 0),
+            pl.BlockSpec((n_fft, btile), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, bins), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile, btile), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(frames2d, wr, wi)
