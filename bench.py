@@ -107,6 +107,83 @@ def build_pipeline(batch=64, t_text=128, steps=124, r=2):
     return synthesize, (taco_vars, packed, voc_packed, text, text_len)
 
 
+# Real sentences for BENCH_PIPELINE=corpus: varied lengths, run through the
+# actual text frontend. Kept <=48 chars so predicted durations (~6 frames
+# per char at length_scale=6, the LJSpeech speech rate) fit the 248-frame
+# budget.
+CORPUS = [
+    "The birch canoe slid on the smooth planks.",
+    "Glue the sheet to the dark blue background.",
+    "It's easy to tell the depth of a well.",
+    "These days a chicken leg is a rare dish.",
+    "Rice is often served in round bowls.",
+    "The juice of lemons makes fine punch.",
+    "The box was thrown beside the parked truck.",
+    "Take the winding path.",
+    "Four hours of steady work faced us.",
+    "A large size in stockings is hard to sell.",
+    "The boy was there when the sun rose.",
+    "Hold the hammer near the end.",
+    "The source of the huge river is clear.",
+    "He ran half way.",
+    "Help the woman get back to her feet.",
+    "A pot of tea helps to pass the evening.",
+]
+
+
+def build_glow_corpus_pipeline(batch=128, t_text=64, t_mel=248):
+    """Honest serving workload: real sentences through the text frontend,
+    per-item text lengths, stop behavior == predicted durations, and audio
+    accounted over VALID frames only (padding is not counted). This is the
+    number a user gets for length-realistic batches; the default fixed-shape
+    pipeline is the FLOP-utilization ceiling."""
+    import numpy as np
+
+    from tts_tpu.infer.synthesis import text_to_seqvec
+    from tts_tpu.models.glow_tts import GlowTTS
+    from tts_tpu.ops.pallas.fused_melgan import megakernel_generator_apply
+    from tts_tpu.text import num_symbols
+
+    rng = jax.random.PRNGKey(0)
+    cfg = {"use_phonemes": False, "text_cleaner": "english_cleaners"}
+    seqs = [text_to_seqvec(s, cfg) for s in CORPUS]
+    assert max(len(s) for s in seqs) <= t_text
+    text_np = np.zeros((batch, t_text), np.int32)
+    len_np = np.zeros((batch,), np.int32)
+    for i in range(batch):
+        s = seqs[i % len(seqs)]
+        text_np[i, :len(s)] = s
+        len_np[i] = len(s)
+    text, text_len = jnp.asarray(text_np), jnp.asarray(len_np)
+
+    glow = GlowTTS(num_chars=num_symbols(False), mas_impl="jnp")
+    gv = glow.init({"params": rng, "dropout": rng, "noise": rng},
+                   text[:2], text_len[:2], jnp.zeros((2, t_mel, 80)),
+                   jnp.full((2,), t_mel, jnp.int32), train=False)
+    # random-init durations are degenerate (expm1 of ~0 -> 0-2 frames);
+    # pin the duration head to exactly 6 frames/char — the LJSpeech speech
+    # rate (86 frames/s at ~14 chars/s) — so lengths match a trained model
+    from flax.core import unfreeze
+    gv = unfreeze(gv)
+    dp = gv["params"]["encoder"]["duration_predictor"]["proj"]
+    dp["kernel"] = jnp.zeros_like(dp["kernel"])
+    dp["bias"] = jnp.full_like(dp["bias"], jnp.log(7.0))  # expm1 -> 6
+    voc_plain, voc_packed = build_vocoder(t_mel, rng)
+
+    @jax.jit
+    def synthesize(gvars, voc_packed, text, text_len):
+        out = glow.apply(gvars, text, text_len, noise_scale=0.33,
+                         y_max_length=t_mel,
+                         rngs={"noise": jax.random.PRNGKey(1)},
+                         method=GlowTTS.inference)
+        mel = out["model_outputs"].astype(jnp.float32)
+        wav = megakernel_generator_apply(voc_plain, voc_packed, mel)
+        valid_samples = jnp.sum(out["mel_lengths"]) * HOP
+        return valid_samples, wav.sum()
+
+    return synthesize, (gv, voc_packed, text, text_len)
+
+
 def main():
     # batch 64 balances throughput with XLA compile time (the bench must
     # finish within the driver's budget; batch 128 compiles ~2x longer for
@@ -118,7 +195,11 @@ def main():
     # the driver budget.
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     steps, r = 124, 2
-    if os.environ.get("BENCH_PIPELINE", "glow") == "glow":
+    pipeline = os.environ.get("BENCH_PIPELINE", "glow")
+    if pipeline == "corpus":
+        # real sentences, per-item lengths, padding NOT counted as audio
+        fn, args = build_glow_corpus_pipeline(batch=batch, t_mel=steps * r)
+    elif pipeline == "glow":
         fn, args = build_glow_pipeline(batch=batch, t_mel=steps * r)
     else:
         fn, args = build_pipeline(batch=batch, steps=steps, r=r)
@@ -134,7 +215,11 @@ def main():
     float(s)
     dt = (time.perf_counter() - t0) / iters
 
-    audio_seconds = batch * int(n_samples) / SR
+    if pipeline == "corpus":
+        # n_samples is already the batch total of VALID samples
+        audio_seconds = int(n_samples) / SR
+    else:
+        audio_seconds = batch * int(n_samples) / SR
     throughput = audio_seconds / dt
     print(json.dumps({
         "metric": "synthesized_audio_seconds_per_s_per_chip",

@@ -88,24 +88,54 @@ class Synthesizer:
     def _vocode(self, mel_norm: np.ndarray) -> np.ndarray:
         """Normalized mel -> waveform through the GAN vocoder
         (≙ synthesizer.py:151-159). MelGAN-family generators with folded
-        weight norm take the Pallas fused serving path."""
+        weight norm take the Pallas fused serving path.
+
+        The mel length is bucketed (rounded up to 32 frames, edge-padded;
+        output sliced back) and each path runs through a cached jax.jit —
+        otherwise every distinct utterance length triggers a minutes-long
+        compile through the tunnel, and eager op-by-op dispatch costs
+        seconds per request (see run_model's cache note)."""
         from tts_tpu.models.vocoder.melgan import MelganGenerator
 
+        n = mel_norm.shape[0]
+        nb = max(32, -(-n // 32) * 32)
+        if nb > n:
+            mel_norm = np.pad(mel_norm, ((0, nb - n), (0, 0)), mode="edge")
         mel = jnp.asarray(mel_norm)[None]
         gen = self.vocoder_model
+        if not hasattr(self, "_vocoder_jit"):
+            self._vocoder_jit = {}
+
+        def jitted(name, build):
+            fn = self._vocoder_jit.get(name)
+            if fn is None:
+                fn = self._vocoder_jit[name] = jax.jit(build())
+            return fn
+
         if (getattr(self, "_megakernel_packed", None) is not None
                 and _megakernel_ok(gen, mel.shape[1])):
             from tts_tpu.ops.pallas.fused_melgan import megakernel_inference
-            wav = megakernel_inference(gen, self._megakernel_packed, mel)
+            fn = jitted("mega", lambda: (
+                lambda packed, m: megakernel_inference(gen, packed, m)))
+            wav = fn(self._megakernel_packed, mel)
         elif (isinstance(gen, MelganGenerator)
                 and not getattr(gen, "use_weight_norm", True)):
             from tts_tpu.models.vocoder.serving import fused_inference
-            wav = fused_inference(gen, self.vocoder_variables["params"], mel)
+            fn = jitted("fused", lambda: (
+                lambda params, m: fused_inference(gen, params, m)))
+            wav = fn(self.vocoder_variables["params"], mel)
         elif hasattr(gen, "inference"):
-            wav = gen.apply(self.vocoder_variables, mel, method=gen.inference)
+            fn = jitted("inference", lambda: (
+                lambda variables, m: gen.apply(variables, m,
+                                               method=gen.inference)))
+            wav = fn(self.vocoder_variables, mel)
         else:
-            wav = gen.apply(self.vocoder_variables, mel)
-        return np.asarray(wav)[0, :, 0]
+            fn = jitted("apply", lambda: (
+                lambda variables, m: gen.apply(variables, m)))
+            wav = fn(self.vocoder_variables, mel)
+        wav = np.asarray(wav)[0, :, 0]
+        hop = getattr(self.vocoder_ap, "hop_length", 256)
+        return wav[:n * hop] if n < nb else wav
 
     def tts(self, text: str, speaker_id: Optional[int] = None) -> np.ndarray:
         """Full text -> waveform with sentence joins + RTF print
