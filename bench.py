@@ -108,20 +108,21 @@ def build_pipeline(batch=64, t_text=128, steps=124, r=2):
 
 
 # Real sentences for BENCH_PIPELINE=corpus: varied lengths, run through the
-# actual text frontend. Kept <=48 chars so predicted durations (~6 frames
-# per char at length_scale=6, the LJSpeech speech rate) fit the 248-frame
-# budget.
+# actual text frontend. Kept <=41 symbols so predicted durations (6 frames
+# per symbol — the duration-bias pin log(7) below, expm1 -> 6, matching the
+# LJSpeech speech rate of ~86 frames/s at ~14 chars/s) fit the 248-frame
+# budget without tail truncation: 41*6 = 246 <= 248.
 CORPUS = [
-    "The birch canoe slid on the smooth planks.",
-    "Glue the sheet to the dark blue background.",
+    "A birch canoe slid on the smooth planks.",
+    "Glue the sheet to the dark blue paper.",
     "It's easy to tell the depth of a well.",
     "These days a chicken leg is a rare dish.",
     "Rice is often served in round bowls.",
     "The juice of lemons makes fine punch.",
-    "The box was thrown beside the parked truck.",
+    "The box was thrown beside the truck.",
     "Take the winding path.",
     "Four hours of steady work faced us.",
-    "A large size in stockings is hard to sell.",
+    "Large size in stockings is hard to sell.",
     "The boy was there when the sun rose.",
     "Hold the hammer near the end.",
     "The source of the huge river is clear.",

@@ -8,6 +8,7 @@ collapses to one jitted JAX path (+ the export module for edge targets).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Any, Dict, Optional
 
 import jax
@@ -54,14 +55,21 @@ def bucket_text_length(n: int, buckets=TEXT_BUCKETS) -> int:
 # args, kwarg names). Without this every request executes the model
 # OP-BY-OP — measured 5.4 s/request (RTF 1.6) on the tunnel vs ~60 ms
 # jitted; jax.jit re-keys on shapes, which text bucketing keeps to a
-# handful of programs.
-_JIT_CACHE: Dict[Any, Any] = {}
+# handful of programs. LRU-bounded so a long-lived server that reloads
+# models (new Synthesizer per checkpoint) does not pin old model objects
+# and their executables for the process lifetime.
+_JIT_CACHE: "OrderedDict[Any, Any]" = OrderedDict()
+_JIT_CACHE_MAX = 32
 
 
 def _jit_for(key, build):
     fn = _JIT_CACHE.get(key)
     if fn is None:
         fn = _JIT_CACHE[key] = jax.jit(build())
+        while len(_JIT_CACHE) > _JIT_CACHE_MAX:
+            _JIT_CACHE.popitem(last=False)
+    else:
+        _JIT_CACHE.move_to_end(key)
     return fn
 
 

@@ -54,6 +54,12 @@ class Synthesizer:
         self.variables = {"params": ckpt["params"]}
         if ckpt.get("batch_stats"):
             self.variables["batch_stats"] = ckpt["batch_stats"]
+        # Checkpoints restore as HOST numpy arrays; without an explicit
+        # device_put every jitted request re-uploads the full param tree
+        # through the tunnel (~190 MB ≈ 2 s/request — measured 2026-08-21,
+        # scripts/probe_single_stream.py: 1975 ms/call vs 32 ms with
+        # device-resident params). One transfer at load, then serve.
+        self.variables = jax.device_put(self.variables)
 
         self.vocoder_model = None
         self.vocoder_variables = None
@@ -70,7 +76,7 @@ class Synthesizer:
                 params = fold_weight_norm(params)
                 self.vocoder_model = self.vocoder_model.clone(
                     use_weight_norm=False)
-            self.vocoder_variables = {"params": params}
+            self.vocoder_variables = jax.device_put({"params": params})
             self.vocoder_ap = AudioProcessor(**self.vocoder_config.audio)
             # pack once for the whole-generator Pallas megakernel (the
             # fastest serving path; ops/pallas/fused_melgan.py)
@@ -94,7 +100,15 @@ class Synthesizer:
         output sliced back) and each path runs through a cached jax.jit —
         otherwise every distinct utterance length triggers a minutes-long
         compile through the tunnel, and eager op-by-op dispatch costs
-        seconds per request (see run_model's cache note)."""
+        seconds per request (see run_model's cache note).
+
+        Numerics note (PARITY.md "mel-length bucketing"): unlike the text
+        bucketing (bit-equal, masked attention), the vocoder's conv
+        receptive field reaches into the edge-replicated pad frames, so the
+        last ~receptive-field samples of the sliced-back waveform differ
+        slightly from unpadded inference. The reference's own
+        `inference_padding` edge-pad (melgan_generator.py:90-95) introduces
+        the same class of boundary effect; accepted serving approximation."""
         from tts_tpu.models.vocoder.melgan import MelganGenerator
 
         n = mel_norm.shape[0]
