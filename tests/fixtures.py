@@ -21,15 +21,22 @@ SENTENCES = [
 ]
 
 
-def make_ljspeech_fixture(root: str, n_items: int = 8, sr: int = SR) -> str:
-    """Create root/metadata.csv + root/wavs/*.wav; returns root."""
+def make_ljspeech_fixture(root: str, n_items: int = 8, sr: int = SR,
+                          base_dur: float = 0.3, dur_step: float = 0.05
+                          ) -> str:
+    """Create root/metadata.csv + root/wavs/*.wav; returns root.
+
+    base_dur/dur_step control utterance lengths — the default keeps unit
+    tests fast; test_train_e2e.py passes ~1 s durations for a
+    realistic-length on-disk run (≙ the reference's bundled LJSpeech
+    sample, tests/data/ljspeech)."""
     wav_dir = os.path.join(root, "wavs")
     os.makedirs(wav_dir, exist_ok=True)
     rng = np.random.default_rng(42)
     lines = []
     for i in range(n_items):
         text = SENTENCES[i % len(SENTENCES)]
-        dur = 0.3 + 0.05 * i
+        dur = base_dur + dur_step * i
         t = np.arange(int(dur * sr)) / sr
         freq = 150 + 30 * i
         y = 0.3 * np.sin(2 * np.pi * freq * t)

@@ -333,6 +333,12 @@ class TTSTrainer:
             if self.epoch >= c.get("test_delay_epochs", 0) and \
                     c.get("run_test_sentences", False):
                 self.test_run()
+        # final save so a run whose last epoch ends between save_step
+        # multiples still leaves a resumable checkpoint (the reference
+        # only saves periodically, train_tts.py:254-259 — a short run
+        # there can end checkpoint-less)
+        if c.get("checkpoint", True):
+            self.save_checkpoint()
 
     def save_checkpoint(self) -> str:
         return ckpt_io.save_checkpoint(
