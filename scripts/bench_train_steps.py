@@ -117,7 +117,49 @@ def bench_glow():
     report("glow_tts+MAS", t)
 
 
-def bench_gan():
+def bench_encoder():
+    """Speaker-encoder GE2E step (≙ ref train_encoder.py:91-123): N=8
+    speakers x M=4 utters, 1.6 s voice windows at 80 mels (VERDICT r2
+    item 9 — the only trainer never benched on TPU)."""
+    import optax
+
+    from tts_tpu.losses.ge2e import GE2ELoss
+    from tts_tpu.models.speaker_encoder import SpeakerEncoder
+    from tts_tpu.train.optim import make_optimizer
+
+    rng = jax.random.PRNGKey(0)
+    N, M, T, D = 8, 4, 138, 80            # 1.6 s at hop 256 / 22050 Hz
+    mels = jax.random.normal(rng, (N * M, T, D))
+    model = SpeakerEncoder(input_dim=D)
+    loss_mod = GE2ELoss()
+    enc_p = model.init(rng, mels)["params"]
+    loss_p = loss_mod.init(rng, jnp.zeros((N, M, model.proj_dim)))["params"]
+    params = {"enc": enc_p, "loss": loss_p}
+    tx = make_optimizer(lr=1e-4, grad_clip=3.0)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, mels):
+        def loss_fn(p):
+            emb = model.apply({"params": p["enc"]}, mels)
+            return loss_mod.apply({"params": p["loss"]},
+                                  emb.reshape(N, M, -1))
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    holder = {"p": params, "o": opt_state}
+
+    def run_one():
+        holder["p"], holder["o"], loss = step(holder["p"], holder["o"], mels)
+        return loss
+
+    t = _time_steps(run_one)
+    print(f"speaker_encoder: {t*1e3:8.2f} ms/step  {1/t:6.2f} steps/s  "
+          f"({N}x{M} utters, T={T})", flush=True)
+
+
+def bench_gan(conv_lowering="auto"):
     from tts_tpu.models.vocoder.melgan import MelganMultiscaleDiscriminator
     from tts_tpu.models.vocoder.multiband_melgan import \
         MultibandMelganGenerator
@@ -129,7 +171,7 @@ def bench_gan():
     seg_frames = 64                       # 16384-sample segments (ref config)
     gan_b = 32
     gen = MultibandMelganGenerator()
-    disc = MelganMultiscaleDiscriminator()
+    disc = MelganMultiscaleDiscriminator(conv_lowering=conv_lowering)
     batch = {
         "audio": jax.random.normal(rng, (gan_b, seg_frames * hop, 1)) * 0.1,
         "mel": jax.random.normal(rng, (gan_b, seg_frames, N_MELS)),
@@ -148,7 +190,8 @@ def bench_gan():
 
     t = _time_steps(run_one)
     frames = gan_b * seg_frames
-    print(f"gan G+D        : {t*1e3:8.2f} ms/step  {1/t:6.2f} steps/s  "
+    tag = "gan G+D" if conv_lowering == "auto" else f"gan {conv_lowering}"
+    print(f"{tag:15s}: {t*1e3:8.2f} ms/step  {1/t:6.2f} steps/s  "
           f"{frames/t:9.0f} mel-frames/s  (B={gan_b}, seg={seg_frames}f)",
           flush=True)
 
@@ -170,3 +213,7 @@ if __name__ == "__main__":
         bench_glow()
     if which in ("all", "gan"):
         bench_gan()
+    if which in ("all", "gan_pallas"):
+        bench_gan(conv_lowering="pallas_wgrad")
+    if which in ("all", "encoder"):
+        bench_encoder()

@@ -105,6 +105,13 @@ class GroupedStridedConv(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (k, m, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.mode == "pallas_wgrad":
+            # XLA fwd/dgrad + Pallas VPU wgrad (grouped_conv_grad.py):
+            # measured 2026-08-21 per-pass wgrad 4.5 -> ~2.1 ms on each of
+            # down_0..2 at B=32/seg=64 (scripts/probe_wgrad_pallas.py)
+            from tts_tpu.ops.pallas.grouped_conv_grad import \
+                grouped_conv_pallas_wgrad
+            return grouped_conv_pallas_wgrad(x, kernel, self.stride, g) + bias
         if self.mode == "hybrid":
             return _grouped_conv_hybrid(x, kernel, self.stride, g) + bias
         pad = (k - 1) // 2
@@ -270,9 +277,13 @@ class MelganDiscriminator(nn.Module):
             groups = max(1, ch // 4)
             ks = df * 10 + 1
             g = min(groups, y.shape[-1])
-            if lowering in ("hybrid", "tap_shift"):
+            cin = y.shape[-1]
+            use_pallas = (lowering == "pallas_wgrad" and cin // g == 1
+                          and df == 4 and (y.shape[1] + ks - 1) % df == 0)
+            if use_pallas or lowering in ("hybrid", "tap_shift"):
+                mode = "pallas_wgrad" if use_pallas else lowering
                 y = nn.WeightNorm(GroupedStridedConv(
-                    ch, ks, df, g, mode=lowering, name=f"down_{i}"))(y)
+                    ch, ks, df, g, mode=mode, name=f"down_{i}"))(y)
             else:
                 y = nn.WeightNorm(nn.Conv(
                     ch, (ks,), strides=(df,),
