@@ -13,6 +13,10 @@ from tts_tpu.models.glow.encoder import GlowTTSEncoder
 from tts_tpu.ops.pallas.fused_glow_encoder import (
     fused_glow_encoder_apply, pack_glow_encoder_params)
 
+# measured 2x SLOWER than XLA on-device (CLAUDE.md Glow-encoder roofline
+# entry); kernel kept as the experimental record only
+pytestmark = pytest.mark.negative_record
+
 
 def _setup(B=4, T=24, uniform_len=True, **kwargs):
     enc = GlowTTSEncoder(num_chars=50, hidden_channels=32,

@@ -177,6 +177,7 @@ class TestMegakernelGenerator:
                                            atol=3e-6)
 
 
+@pytest.mark.negative_record
 class TestFoldedLayout:
     """Superphase-group fold: the folded packing must be element-wise exact
     vs both the unfolded kernel and the flax generator."""
@@ -237,6 +238,7 @@ class TestFoldedLayout:
                                    np.asarray(want)[:, -16:], atol=3e-5)
 
 
+@pytest.mark.negative_record
 class TestStackedTaps:
     """Tap-stacked (output-shift) packing: one dot per conv on the unshifted
     input, shifts applied to output pieces — must match flax exactly."""

@@ -72,6 +72,7 @@ def taco2_fused_inference(model: Tacotron2, variables: Dict[str, Any],
                           max_decoder_steps: Optional[int] = None,
                           compute_dtype=jnp.bfloat16,
                           packed: Optional[Dict[str, Array]] = None,
+                          two_stage: bool = False,
                           interpret: bool = False) -> Dict[str, Array]:
     """Drop-in for ``model.apply(..., method=model.inference)`` on the
     supported serving configuration. Runs the full static step budget (no
@@ -89,10 +90,12 @@ def taco2_fused_inference(model: Tacotron2, variables: Dict[str, Any],
     if packed is None:
         packed = pack_decoder_params(variables["params"],
                                      n_mels=model.n_mels, t_in=enc.shape[1],
-                                     attn_dim=model.attn_dim)
+                                     attn_dim=model.attn_dim,
+                                     two_stage=two_stage)
     frames, stop_logits, alignments = fused_decode(
         enc, pi, mask, packed, steps=steps, r=model.r, n_mels=model.n_mels,
-        compute_dtype=compute_dtype, interpret=interpret)
+        compute_dtype=compute_dtype, two_stage=two_stage,
+        interpret=interpret)
 
     # (steps, B, r*M) -> (B, steps*r, M); stop masking as in model.inference
     frames = jnp.swapaxes(frames, 0, 1).reshape(B, steps * model.r,

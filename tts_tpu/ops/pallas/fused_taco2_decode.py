@@ -35,11 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _make_kernel(steps: int, r: int, n_mels: int, H: int, compute_dtype,
-                 energy_dtype=jnp.float32):
+                 energy_dtype=jnp.float32, two_stage: bool = False):
     def kernel(enc_ref, pi_ref, mask_ref,
                pw1_ref, pw2_ref,
                aw_ref, ab_ref,
-               qk_ref, kb_ref, v_ref,
+               qk_ref, kb_ref, ld_ref, v_ref,
                dw_ref, db_ref,
                projw_ref, projb_ref, stopw_ref, stopb_ref,
                frames_ref, stop_ref, align_ref):
@@ -82,7 +82,17 @@ def _make_kernel(steps: int, r: int, n_mels: int, H: int, compute_dtype,
                 jnp.concatenate([align, cum], axis=-1).astype(cd),
                 kb_ref[:].astype(cd),
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (B,T,A); Mosaic
+                preferred_element_type=jnp.float32)  # (B,T,A) or (B,T,F)
+            if two_stage:
+                # kb carries only the banded location CONV (T*F columns);
+                # apply location_dense as a second (B*T, F) x (F, A) matmul
+                # — ~2.7x fewer MACs than the folded (2T, T*A) band at
+                # F=32, A=128, and 12 MB less VMEM
+                F = loc.shape[-1]
+                loc = jnp.dot(loc.reshape(B * T, F).astype(cd), ld_ref[:],
+                              preferred_element_type=jnp.float32
+                              ).reshape(B, T, -1)
+            # (B,T,A); Mosaic
             # requires 32-bit matmul accumulators, so cast after the dot.
             # energy_dtype=bf16 was measured SLOWER than f32 at batch 128
             # (62.0 vs 59.2 us/step, scripts/profile_decode_energy.py):
@@ -134,10 +144,13 @@ def _make_kernel(steps: int, r: int, n_mels: int, H: int, compute_dtype,
 
 
 def pack_decoder_params(params: Dict[str, Any], *, n_mels: int = 80,
-                        t_in: int = 128, attn_dim: int = 128):
+                        t_in: int = 128, attn_dim: int = 128,
+                        two_stage: bool = False):
     """Pack our Tacotron2 decoder param subtree (models/tacotron2.py names)
     into the kernel's operands; folds location_conv (+SAME banding) and
-    location_dense into (T, T, A) matrices per alignment channel."""
+    location_dense into (T, T, A) matrices per alignment channel — or, with
+    ``two_stage``, only the conv band (T, T, F) plus a separate
+    location_dense operand (see _make_kernel)."""
     dec = params["decoder"]
 
     def lstm_pack(cell):
@@ -151,7 +164,8 @@ def pack_decoder_params(params: Dict[str, Any], *, n_mels: int = 80,
     attn = dec["attention"]
     kloc = attn["location_conv"]["kernel"]      # (31, 2, F)
     ldense = attn["location_dense"]["kernel"]   # (F, A)
-    k_eff = jnp.einsum("kcf,fa->kca", kloc, ldense)  # (31, 2, A)
+    k_eff = kloc if two_stage \
+        else jnp.einsum("kcf,fa->kca", kloc, ldense)  # (31, 2, A|F)
     K = kloc.shape[0]
     half = (K - 1) // 2
     # flax SAME conv: out[s] = sum_tap in[s + tap - half] * k[tap]; input
@@ -159,12 +173,15 @@ def pack_decoder_params(params: Dict[str, Any], *, n_mels: int = 80,
     sel = (np.arange(K)[:, None, None]
            == (np.arange(t_in)[None, :, None]
                - np.arange(t_in)[None, None, :] + half)).astype(np.float32)
-    kb = jnp.einsum("kca,kts->ctsa", k_eff, jnp.asarray(sel))  # (2,T,T,A)
+    kb = jnp.einsum("kca,kts->ctsa", k_eff, jnp.asarray(sel))  # (2,T,T,A|F)
     # stack the two alignment channels on the contraction axis: one banded
     # matmul over concat([align, cum])
-    kb = jnp.concatenate([kb[0], kb[1]], axis=0)  # (2T, T, A)
+    kb = jnp.concatenate([kb[0], kb[1]], axis=0)  # (2T, T, A|F)
     prenet = dec["prenet"]
+    extra = {"ld": ldense} if two_stage \
+        else {"ld": jnp.zeros((1, 1), ldense.dtype)}
     return dict(
+        **extra,
         pw1=prenet["linear_0"]["kernel"], pw2=prenet["linear_1"]["kernel"],
         aw=aw, ab=ab,
         qk=attn["query_layer"]["kernel"],
@@ -180,27 +197,29 @@ def pack_decoder_params(params: Dict[str, Any], *, n_mels: int = 80,
 
 @functools.partial(jax.jit, static_argnames=("steps", "r", "n_mels",
                                              "compute_dtype", "energy_dtype",
-                                             "interpret"))
+                                             "two_stage", "interpret"))
 def fused_decode(enc: jnp.ndarray, processed_inputs: jnp.ndarray,
                  mask: jnp.ndarray, packed: Dict[str, jnp.ndarray],
                  steps: int, r: int, n_mels: int = 80,
                  compute_dtype=jnp.bfloat16, energy_dtype=jnp.float32,
-                 interpret: bool = False
+                 two_stage: bool = False, interpret: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """enc (B, T, D), processed_inputs (B, T, A), mask (B, T) ->
-    (frames (steps, B, r*n_mels), stop (steps, B), align (steps, B, T))."""
+    (frames (steps, B, r*n_mels), stop (steps, B), align (steps, B, T)).
+    ``two_stage`` must match the pack_decoder_params flag."""
     B, T, D = enc.shape
     H = packed["ab"].shape[0] // 4
     # cast the large operands BEFORE the call: VMEM blocks hold the array's
     # own dtype, so f32 inputs would double the resident footprint (the f32
     # variant overflows the 128 MB VMEM)
-    big = {"pw1", "pw2", "aw", "qk", "kb", "dw", "projw"}
+    big = {"pw1", "pw2", "aw", "qk", "kb", "ld", "dw", "projw"}
     enc = enc.astype(compute_dtype)
     processed_inputs = processed_inputs.astype(compute_dtype)
-    names = ["pw1", "pw2", "aw", "ab", "qk", "kb", "v",
+    names = ["pw1", "pw2", "aw", "ab", "qk", "kb", "ld", "v",
              "dw", "db", "projw", "projb", "stopw", "stopb"]
-    ops = [packed[n].astype(compute_dtype) if n in big else packed[n]
-           for n in names]
+    dummy_ld = jnp.zeros((1, 1), jnp.float32)
+    ops = [(packed.get(n, dummy_ld)).astype(compute_dtype) if n in big
+           else packed[n] for n in names]
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shapes = (
         jax.ShapeDtypeStruct((steps, B, r * n_mels), jnp.float32),
@@ -209,7 +228,7 @@ def fused_decode(enc: jnp.ndarray, processed_inputs: jnp.ndarray,
     )
     return pl.pallas_call(
         _make_kernel(steps, r, n_mels, H, compute_dtype,
-                     energy_dtype=energy_dtype),
+                     energy_dtype=energy_dtype, two_stage=two_stage),
         out_shape=out_shapes,
         in_specs=[vm()] * (3 + len(ops)),
         out_specs=(vm(), vm(), vm()),

@@ -124,32 +124,33 @@ def grouped_conv_wgrad(x: jnp.ndarray, dy: jnp.ndarray, kernel_size: int,
              .reshape(k, m, cout).astype(x.dtype)
 
 
-def _dgrad_kernel(dyT_ref, wT_ref, out_ref, *, k: int, m: int, n: int,
-                  g: int, stride: int, L4: int):
-    """dyT (n*G, Bblk, Lout), wT (G, k*m*n), out (m*S*G, Bblk, L4).
+def _dgrad_kernel(dyT_ref, wT_ref, out_ref, acc_ref, *, k: int, m: int,
+                  n: int, g: int, stride: int, L4: int):
+    """dyT (n*G, Bblk, Lout), wT (G, k*m*n), out (m*S*G, Bblk, L4),
+    acc scratch (G, Bblk, L4).
 
     dx in the same folded-time transposed layout as the wgrad kernel's
     input: row (i*S+ss)*G+gi at lane v is dxp[b, S*v+ss, gi*m+i], i.e. the
     PADDED input's gradient; the caller slices the pad off. For tap
     t = S*q+ss, output position S*(l+q)+ss receives W[t, i, gi*n+j] *
     dy[b, l, gi*n+j] — a per-group scalar broadcast times the resident dy
-    rows, shift-accumulated along lanes (all static slices)."""
+    rows, shift-accumulated along lanes (all static slices). Accumulation
+    goes through a VMEM scratch ref: a pure-SSA concat/add chain made
+    Mosaic stack-allocate every temporary (124 MB scoped-vmem OOM at
+    down_2)."""
     nG, Bblk, Lout = dyT_ref.shape
     dy = dyT_ref[:]
     for i in range(m):
         for ss in range(stride):
-            acc = jnp.zeros((g, Bblk, L4), jnp.float32)
+            acc_ref[:] = jnp.zeros((g, Bblk, L4), jnp.float32)
             for q in range((k - ss + stride - 1) // stride):
                 t = stride * q + ss
                 for j in range(n):
                     col = (t * m + i) * n + j
                     w_col = wT_ref[:, col:col + 1].reshape(g, 1, 1)
-                    contrib = w_col * dy[j * g:(j + 1) * g]
-                    pad_l = jnp.zeros((g, Bblk, q), jnp.float32)
-                    pad_r = jnp.zeros((g, Bblk, L4 - Lout - q), jnp.float32)
-                    acc += jnp.concatenate([pad_l, contrib, pad_r], axis=2)
+                    acc_ref[:, :, q:q + Lout] += w_col * dy[j * g:(j + 1) * g]
             base = (i * stride + ss) * g
-            out_ref[base:base + g, :, :] = acc
+            out_ref[base:base + g, :, :] = acc_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("x_len", "stride", "groups",
@@ -194,8 +195,12 @@ def grouped_conv_dgrad(dy: jnp.ndarray, kernel: jnp.ndarray, x_len: int,
         out_specs=pl.BlockSpec((m * s * g, bb, L4), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m * s * g, B, L4), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((g, bb, L4), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            # Mosaic stack-allocates the per-tap product temporaries; the
+            # down_2 geometry needs ~101 MB scoped (measured) — fits the
+            # 128 MB VMEM but not the default 100 MB cap
+            vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(dyT, wT)
     # (m, S, g, B, L4) -> (B, L4, S, g, m) -> (B, L+2p, cin) -> unpad
