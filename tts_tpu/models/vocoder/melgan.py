@@ -251,11 +251,13 @@ class MelganDiscriminator(nn.Module):
     base_channels: int = 16
     max_channels: int = 1024
     downsample_factors: Sequence[int] = (4, 4, 4, 4)
-    # "auto" == "conv": BOTH alternative lowerings measured SLOWER in the
-    # full GAN step at B=32 (conv 160.7 ms, hybrid-wgrad 194.4, tap_shift
-    # 958.9 — scripts/profile_gan_step.py + bench_train_steps.py 2026-08-20);
-    # XLA's grouped-conv paths win despite the near-depthwise shapes. Kept
-    # selectable as the measured record.
+    # "auto" -> "pallas_wgrad" on TPU (XLA fwd + Pallas VPU wgrad/dgrad,
+    # ops/pallas/grouped_conv_grad.py): grad[D real+fake] 131.7 -> 75.2 ms
+    # and the full GAN G+D step 160.7 -> 113.4 ms at B=32/seg=64 (measured
+    # 2026-08-21, scripts/profile_gan_wgrad.py + bench_train_steps.py
+    # gan_pallas). On CPU "auto" stays "conv". The two XLA-level
+    # re-lowerings remain the measured-negative record (hybrid-wgrad
+    # 194.4 ms, tap_shift 958.9 ms — 2026-08-20).
     conv_lowering: str = "auto"
 
     @nn.compact
@@ -270,7 +272,8 @@ class MelganDiscriminator(nn.Module):
 
         lowering = self.conv_lowering
         if lowering == "auto":
-            lowering = "conv"
+            lowering = ("pallas_wgrad" if jax.default_backend() == "tpu"
+                        else "conv")
         ch = self.base_channels
         for i, df in enumerate(self.downsample_factors):
             ch = min(ch * df, self.max_channels)

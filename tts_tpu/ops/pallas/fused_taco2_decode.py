@@ -84,14 +84,22 @@ def _make_kernel(steps: int, r: int, n_mels: int, H: int, compute_dtype,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (B,T,A) or (B,T,F)
             if two_stage:
+                # MEASURED NEGATIVE (2026-08-21, profile_decode_twostage):
                 # kb carries only the banded location CONV (T*F columns);
-                # apply location_dense as a second (B*T, F) x (F, A) matmul
-                # — ~2.7x fewer MACs than the folded (2T, T*A) band at
-                # F=32, A=128, and 12 MB less VMEM
-                F = loc.shape[-1]
-                loc = jnp.dot(loc.reshape(B * T, F).astype(cd), ld_ref[:],
-                              preferred_element_type=jnp.float32
-                              ).reshape(B, T, -1)
+                # location_dense applied as a second contraction — ~2.7x
+                # fewer MACs than the folded (2T, T*A) band. CPU-exact
+                # (interpret), but Mosaic REJECTS both device lowerings of
+                # the second stage with 'infer-vector-layout: unsupported
+                # shape cast': the (B*T, F) flatten and the 3-D
+                # (B,T,F)x(F,A) dot_general both need a rank-collapse /
+                # relayout of the F=32-lane intermediate it cannot express;
+                # padding F to 128 lanes would erase the MAC savings.
+                # Folded band stays the production path (59.9 us/step
+                # baseline at B=128). Kept as the record.
+                loc = jax.lax.dot_general(
+                    loc.astype(cd), ld_ref[:],
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             # (B,T,A); Mosaic
             # requires 32-bit matmul accumulators, so cast after the dot.
             # energy_dtype=bf16 was measured SLOWER than f32 at batch 128
