@@ -328,3 +328,84 @@ def test_multispeaker_embedding_converges_and_conditions():
     delta = np.asarray(delta)
     assert (delta[np.asarray(spk) == 0] > 0.25).all(), delta
     assert (delta[np.asarray(spk) == 1] < -0.25).all(), delta
+
+
+@pytest.mark.slow
+def test_gst_style_conditioning_converges():
+    """GST conditioning evidence (companion to the multi-speaker test):
+    train with two style classes (per-item DC offsets; GST reads the style
+    from the target mel during training, tacotron2.py:289), then at
+    inference feed style mels from each class — the output level must
+    follow the STYLE MEL's class. ≙ the reference's GST compute path,
+    tacotron_abstract.py:197-204."""
+    from tts_tpu.models.tacotron2 import Tacotron2
+    from tts_tpu.train.state import create_train_state, make_train_step
+
+    # SAME three texts in both classes: text cannot disambiguate the
+    # class, and with 2-char utterances (2 decode steps at r=2) the
+    # step-1 prediction — whose only input beyond text is the zero
+    # go-frame — carries HALF the loss, so minimizing it REQUIRES the
+    # style embedding. (Longer utterances cannot force GST use: teacher
+    # forcing leaks the class through every prev frame after step 1.)
+    base = make_aligned_corpus(n_items=3, min_len=2, max_len=2, seed=5)
+    OFF = 1.5
+    batch = {k: jnp.concatenate([v, v], axis=0) for k, v in base.items()}
+    style = jnp.asarray([0, 0, 0, 1, 1, 1], jnp.int32)
+    sign = jnp.where(style == 0, OFF, -OFF)[:, None, None]
+    mel_mask = (jnp.arange(batch["mel"].shape[1])[None, :, None]
+                < batch["mel_lengths"][:, None, None])
+    neutral_mel = batch["mel"]          # style-free copy for the probe below
+    batch["mel"] = batch["mel"] + sign * mel_mask
+
+    model = Tacotron2(num_chars=VOCAB, r=2, encoder_dim=64,
+                      embedding_dim=64, attn_dim=32, use_gst=True,
+                      gst_embedding_dim=32, gst_num_style_tokens=4,
+                      gst_num_heads=2)
+    rng = jax.random.PRNGKey(0)
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(2e-3))
+    state = create_train_state(model, rng, batch, tx)
+    step = make_train_step(model, jit=True)
+
+    first = None
+    for i in range(300):
+        state, losses = step(state, batch, jax.random.fold_in(rng, i))
+        if first is None:
+            first = float(losses["decoder_loss"])
+    final = float(losses["decoder_loss"])
+    assert final < 0.25 * first, (first, final)
+
+    # GST embeddings must separate the classes
+    v = {"params": state.params, "batch_stats": state.batch_stats}
+    emb, _ = model.apply(v, batch["mel"],
+                         method=lambda m, x: m.gst_layer(x),
+                         mutable=["batch_stats"])
+    emb = np.asarray(emb)
+    between = np.linalg.norm(emb[0] - emb[3])   # same text, other class
+    within = np.linalg.norm(emb[0] - emb[1])    # other text, same class
+    assert between > 5 * max(within, 1e-3), (between, within)
+
+    # decoupled conditioning probe: SAME text, NEUTRAL teacher-forced prev
+    # frames, first decode step only (its input is the zero go-frame, so
+    # the style embedding is the ONLY class signal). Free-running
+    # inference is not used: off-manifold zero-start decoding falls into
+    # one attractor regardless of conditioning — a dynamics property, not
+    # a wiring one.
+    def tf_with_style(mdl, text, tl, mel, style_mel):
+        enc, mask = mdl._encode(text, tl, False, None, None, style_mel)
+        frames, _, _ = mdl._run_decoder(mdl.decoder, enc, mask, mel, mdl.r,
+                                        train=False)
+        return frames
+
+    def probe(style_mel):
+        frames, _ = model.apply(
+            v, batch["text"][:1], batch["text_lengths"][:1],
+            neutral_mel[:1], jnp.asarray(style_mel),
+            rngs={"dropout": rng}, mutable=["batch_stats"],
+            method=tf_with_style)
+        r = model.r
+        return float(np.asarray(frames)[:, :r].mean())
+
+    mel_np = np.asarray(batch["mel"])
+    out_pos = probe(mel_np[0:1])       # class 0 (+OFF) style
+    out_neg = probe(mel_np[3:4])       # class 1 (-OFF) style, same text
+    assert out_pos > out_neg + OFF, (out_pos, out_neg)

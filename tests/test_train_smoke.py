@@ -112,6 +112,19 @@ class TestSynthesisSmoke:
         assert len(wav) > 10000
         assert np.isfinite(wav).all()
 
+    def test_prewarm(self, trained):
+        """server --prewarm path: compiles bucket graphs up front."""
+        from tts_tpu.infer.synthesis import _JIT_CACHE
+        from tts_tpu.infer.synthesizer import Synthesizer
+
+        synth = Synthesizer(trained["ckpt"],
+                            os.path.join(trained["out"], "config.json"))
+        before = len(_JIT_CACHE)
+        synth.prewarm(buckets=[32])
+        wav = synth.tts("warm request.")
+        assert len(wav) > 0 and np.isfinite(wav).all()
+        assert len(_JIT_CACHE) >= max(before, 1)
+
 
 class TestServerSmoke:
     def test_http_roundtrip(self, trained):

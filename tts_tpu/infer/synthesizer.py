@@ -151,6 +151,22 @@ class Synthesizer:
         hop = getattr(self.vocoder_ap, "hop_length", 256)
         return wav[:n * hop] if n < nb else wav
 
+    def prewarm(self, buckets: Optional[List[int]] = None) -> None:
+        """Compile the serving graphs for each text-length bucket up front
+        (server --prewarm): each distinct bucket is a separate XLA program
+        whose cold compile costs minutes through the device tunnel —
+        paying them at boot keeps first-user-request latency at the warm
+        ~140 ms (measured 2026-08-21, scripts/bench_single_stream.py).
+        With the persistent compilation cache only the first boot pays."""
+        from tts_tpu.infer.synthesis import TEXT_BUCKETS
+        t0 = time.time()
+        # beyond 256 symbols is past the longest realistic single sentence
+        todo = buckets if buckets else [b for b in TEXT_BUCKETS if b <= 256]
+        for b in todo:
+            self.tts("a" * max(1, b - 2) + ".")
+        print(f" > Prewarmed {len(todo)} text buckets "
+              f"in {time.time() - t0:.1f}s", flush=True)
+
     def tts(self, text: str, speaker_id: Optional[int] = None) -> np.ndarray:
         """Full text -> waveform with sentence joins + RTF print
         (≙ Synthesizer.tts, synthesizer.py:135-193)."""

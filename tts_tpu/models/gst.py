@@ -25,13 +25,18 @@ class ReferenceEncoder(nn.Module):
     filters: tuple = (32, 32, 64, 64, 128, 128)
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, train: bool = False) -> Array:
         B, T, M = x.shape
         y = x[..., None]  # (B, T, n_mel, 1) NHWC with H=time, W=mel
         for i, ch in enumerate(self.filters):
             y = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME",
                         name=f"conv_{i}")(y)
-            y = nn.BatchNorm(use_running_average=False, momentum=0.9,
+            # eval MUST use running stats (≙ torch BatchNorm2d .eval()):
+            # batch-stats at inference made the style embedding depend on
+            # the serving batch size (found by
+            # test_gst_style_conditioning_converges — a B=1 probe gave a
+            # different style than the same item inside a full batch)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              name=f"bn_{i}")(y)
             y = nn.relu(y)
         B2, T2, M2, C2 = y.shape
@@ -77,9 +82,10 @@ class GST(nn.Module):
 
     @nn.compact
     def __call__(self, style_mel: Array,
-                 speaker_embedding: Optional[Array] = None) -> Array:
+                 speaker_embedding: Optional[Array] = None,
+                 train: bool = False) -> Array:
         ref = ReferenceEncoder(self.num_mel, self.gst_embedding_dim // 2,
-                               name="ref_encoder")(style_mel)
+                               name="ref_encoder")(style_mel, train=train)
         if speaker_embedding is not None and self.speaker_embedding_dim:
             ref = jnp.concatenate([ref, speaker_embedding], axis=-1)
         tokens = self.param(

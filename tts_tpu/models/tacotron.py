@@ -275,7 +275,7 @@ class Tacotron(nn.Module):
             parts.append(jnp.broadcast_to(
                 spk[:, None, :], (enc.shape[0], enc.shape[1], spk.shape[-1])))
         if self.use_gst and style_mel is not None:
-            style = self.gst_layer(style_mel)
+            style = self.gst_layer(style_mel, train=train)
             parts.append(jnp.broadcast_to(
                 style[:, None, :],
                 (enc.shape[0], enc.shape[1], style.shape[-1])))

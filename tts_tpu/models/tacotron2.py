@@ -228,7 +228,7 @@ class Tacotron2(nn.Module):
             parts.append(jnp.broadcast_to(spk[:, None, :],
                                           (enc.shape[0], enc.shape[1], spk.shape[-1])))
         if self.use_gst:
-            style = self.gst_layer(style_mel)  # (B, gst_dim)
+            style = self.gst_layer(style_mel, train=train)  # (B, gst_dim)
             parts.append(jnp.broadcast_to(style[:, None, :],
                                           (enc.shape[0], enc.shape[1], style.shape[-1])))
         if len(parts) > 1:

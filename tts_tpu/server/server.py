@@ -116,6 +116,12 @@ def main(argv=None):
     parser.add_argument("--vocoder_checkpoint", default=None)
     parser.add_argument("--vocoder_config", default=None)
     parser.add_argument("--port", type=int, default=5002)
+    parser.add_argument("--prewarm", action="store_true",
+                        help="compile the serving graphs for every text "
+                             "bucket at boot, before accepting requests — "
+                             "moves the minutes-long first-request XLA "
+                             "compile (persistent-cached thereafter) out of "
+                             "user-visible latency")
     args = parser.parse_args(argv)
 
     if not args.tts_checkpoint:
@@ -127,6 +133,8 @@ def main(argv=None):
 
     synth = Synthesizer(args.tts_checkpoint, args.tts_config,
                         args.vocoder_checkpoint, args.vocoder_config)
+    if args.prewarm:
+        synth.prewarm()
     server = create_server(synth, args.port)
     print(f" > Serving on http://localhost:{args.port}", flush=True)
     server.serve_forever()
