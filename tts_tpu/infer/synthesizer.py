@@ -76,7 +76,10 @@ class Synthesizer:
                 params = fold_weight_norm(params)
                 self.vocoder_model = self.vocoder_model.clone(
                     use_weight_norm=False)
-            self.vocoder_variables = jax.device_put({"params": params})
+            voc_vars = {"params": params}
+            if vckpt.get("batch_stats"):   # e.g. WaveRNN's MelResNet BNs
+                voc_vars["batch_stats"] = vckpt["batch_stats"]
+            self.vocoder_variables = jax.device_put(voc_vars)
             self.vocoder_ap = AudioProcessor(**self.vocoder_config.audio)
             # pack once for the whole-generator Pallas megakernel (the
             # fastest serving path; ops/pallas/fused_melgan.py)
@@ -126,7 +129,19 @@ class Synthesizer:
                 fn = self._vocoder_jit[name] = jax.jit(build())
             return fn
 
-        if (getattr(self, "_megakernel_packed", None) is not None
+        from tts_tpu.models.vocoder.wavernn import WaveRNN
+        if isinstance(gen, WaveRNN):
+            # ≙ the reference's external-WaveRNN branch
+            # (synthesizer.py:160-169): edge-pad the conditioning context
+            # frames, autoregressive sample scan, fixed seed per request
+            mel_p = jnp.pad(mel, ((0, 0), (gen.pad, gen.pad), (0, 0)),
+                            mode="edge")
+            fn = jitted("wavernn", lambda: (
+                lambda variables, m: gen.apply(variables, m,
+                                               jax.random.PRNGKey(0),
+                                               method=gen.generate)))
+            wav = fn(self.vocoder_variables, mel_p)[..., None]
+        elif (getattr(self, "_megakernel_packed", None) is not None
                 and _megakernel_ok(gen, mel.shape[1])):
             from tts_tpu.ops.pallas.fused_melgan import megakernel_inference
             fn = jitted("mega", lambda: (

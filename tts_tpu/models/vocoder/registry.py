@@ -35,6 +35,21 @@ def setup_generator(c: Dict[str, Any]):
             num_res_blocks=params.get("num_res_blocks", 30),
             stacks=params.get("stacks", 3),
             upsample_factors=tuple(params.get("upsample_factors", (4, 4, 4, 4))))
+    if name == "wavernn":
+        # native equivalent of the reference's external-WaveRNN serving
+        # path (server/synthesizer.py:93-125 + its default arch values)
+        from tts_tpu.models.vocoder.wavernn import WaveRNN
+        return WaveRNN(
+            bits=params.get("bits", 10),
+            rnn_dims=params.get("rnn_dims", 512),
+            fc_dims=params.get("fc_dims", 512),
+            feat_dims=in_features,
+            compute_dims=params.get("compute_dims", 128),
+            res_out_dims=params.get("res_out_dims", 128),
+            res_blocks=params.get("res_blocks", 10),
+            pad=params.get("pad", 2),
+            upsample_factors=tuple(params.get("upsample_factors", (4, 8, 8))),
+            mulaw=params.get("mulaw", True))
     raise KeyError(f"unknown generator model: {name}")
 
 
