@@ -71,6 +71,10 @@ def evaluate(config_path: str, checkpoint: str,
     variables = {"params": ckpt["params"]}
     if ckpt.get("batch_stats"):
         variables["batch_stats"] = ckpt["batch_stats"]
+    # checkpoints restore as HOST numpy; without device_put every batch
+    # re-uploads the full param tree through the tunnel (~2 s/call on TPU —
+    # same trap as Synthesizer.__init__, measured 2026-08-21)
+    variables = jax.device_put(variables)
     r = ckpt.get("meta", {}).get("r", c.get("r", 1)) or 1
     if hasattr(model, "r") and model.r != r:
         model = model.clone(r=r)
@@ -90,6 +94,7 @@ def evaluate(config_path: str, checkpoint: str,
         ref_variables = {"params": ref_ckpt["params"]}
         if ref_ckpt.get("batch_stats"):
             ref_variables["batch_stats"] = ref_ckpt["batch_stats"]
+        ref_variables = jax.device_put(ref_variables)
 
     for batch in ds.batches(batch_size=min(8, len(items)), shuffle=False):
         jb = {k: jnp.asarray(v) for k, v in batch.items()

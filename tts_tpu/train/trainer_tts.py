@@ -209,8 +209,10 @@ class TTSTrainer:
                 except (KeyError, ValueError):
                     pass  # optimizer shape changed -> fresh opt state
             self.state = self.state.replace(
-                params=params, opt_state=new_opt,
-                batch_stats=ckpt.get("batch_stats") or self.state.batch_stats,
+                params=jax.device_put(params),
+                opt_state=jax.device_put(new_opt),
+                batch_stats=jax.device_put(
+                    ckpt.get("batch_stats") or self.state.batch_stats),
                 step=self.global_step)
         del self._restored
 
