@@ -209,12 +209,25 @@ def main():
     # NOTE: on this setup block_until_ready does not synchronize through the
     # device tunnel; fetching a scalar is the only reliable fence. We enqueue
     # `iters` executions and fence once at the end.
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        n_samples, s = fn(*args)
-    float(s)
-    dt = (time.perf_counter() - t0) / iters
+    #
+    # Variance methodology (round 4): one timed loop is a single sample of a
+    # noisy tunnel + chip; we take `reps` independent timed loops and report
+    # the MEDIAN, with the spread (max-min over reps, as % of median) in the
+    # JSON line so run-to-run drift questions are answerable. Measured
+    # spread on this machine is ~1-3% (CLAUDE.md).
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            n_samples, s = fn(*args)
+        float(s)
+        times.append((time.perf_counter() - t0) / iters)
+    times.sort()
+    dt = times[len(times) // 2] if reps % 2 else (
+        times[reps // 2 - 1] + times[reps // 2]) / 2
+    spread_pct = 100.0 * (times[-1] - times[0]) / dt
 
     if pipeline == "corpus":
         # n_samples is already the batch total of VALID samples
@@ -227,6 +240,8 @@ def main():
         "value": round(float(throughput), 3),
         "unit": "audio_s/s",
         "vs_baseline": round(float(throughput) / 1.0, 3),
+        "reps": reps,
+        "spread_pct": round(spread_pct, 2),
     }))
 
 

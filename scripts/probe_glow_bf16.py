@@ -39,9 +39,20 @@ def main():
         return jax.tree_util.tree_map(
             lambda x: x.astype(dt) if x.dtype == jnp.float32 else x, tree)
 
+    # encoder-only variant: the encoder is the HBM-bound stage (each sublayer
+    # ~2.5x its FLOP roofline); the flow decoder is at its matmul roofline
+    # AND numerically sensitive (inverse flow amplifies bf16 error), so cast
+    # only the encoder subtree.
+    from flax.core import unfreeze
+    gv_enc = unfreeze(gv)
+    gv_enc["params"] = dict(gv_enc["params"])
+    gv_enc["params"]["encoder"] = cast(gv_enc["params"]["encoder"],
+                                       jnp.bfloat16)
+
     outs = {}
     for name, variables in (("f32", gv),
-                            ("bf16", cast(gv, jnp.bfloat16))):
+                            ("bf16", cast(gv, jnp.bfloat16)),
+                            ("enc_bf16", gv_enc)):
         @jax.jit
         def run(v, text, tl):
             out = glow.apply(v, text, tl, noise_scale=0.33,
@@ -60,9 +71,10 @@ def main():
         outs[name] = jax.device_get(mel)
         print(f"{name:5s}: {dt*1e3:7.2f} ms/batch", flush=True)
     import numpy as np
-    d = np.abs(outs["f32"] - outs["bf16"]).max()
     scale = np.abs(outs["f32"]).max()
-    print(f"max_abs_diff {d:.4e} (scale {scale:.3e})")
+    for name in ("bf16", "enc_bf16"):
+        d = np.abs(outs["f32"] - outs[name]).max()
+        print(f"{name}: max_abs_diff {d:.4e} (scale {scale:.3e})")
 
 
 if __name__ == "__main__":

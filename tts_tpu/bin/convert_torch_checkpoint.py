@@ -62,6 +62,12 @@ def convert(model_type: str, torch_checkpoint: str, out_dir: str,
         extra["use_weight_norm"] = False  # folded at conversion
     elif model_type == "speaker_encoder":
         params = torch_port.port_speaker_encoder(sd)
+    elif model_type == "wavernn":
+        factors = (4, 8, 8)
+        if cfg is not None:
+            factors = tuple(cfg.get("upsample_factors", factors))
+        params, batch_stats = torch_port.port_wavernn(
+            sd, upsample_factors=factors)
     elif model_type == "pwgan":
         from tts_tpu.models.vocoder.pwgan import ParallelWaveganGenerator
         model = ParallelWaveganGenerator()
@@ -85,7 +91,7 @@ def main(argv=None):
                         choices=["tacotron2", "tacotron", "glow_tts",
                                  "melgan", "multiband_melgan",
                                  "fullband_melgan", "pwgan",
-                                 "speaker_encoder"])
+                                 "speaker_encoder", "wavernn"])
     parser.add_argument("--torch_checkpoint", required=True)
     parser.add_argument("--out_dir", required=True)
     parser.add_argument("--config_path", default=None)

@@ -615,3 +615,66 @@ def port_speaker_encoder(state_dict: Dict[str, np.ndarray],
             "proj": {"kernel": _t(sd[f"{base}.linear.weight"])},
         }
     return params
+
+
+# ---------------------------------------------------------------------------
+# WaveRNN port (fatchord/erogol external repo, the reference's WaveRNN hook)
+# ---------------------------------------------------------------------------
+
+def port_wavernn(state_dict: Dict[str, np.ndarray],
+                 res_blocks: int = 10,
+                 upsample_factors=(4, 8, 8)) -> Tuple[Dict, Dict]:
+    """External fatchord-style WaveRNN state dict -> (params, batch_stats).
+
+    The reference serves WaveRNN by importing ``WaveRNN.models.wavernn.Model``
+    from an external checkout (/root/reference/TTS/server/synthesizer.py:93-125);
+    this maps that repo's ``state_dict()`` names (``upsample.resnet.*``,
+    ``upsample.up_layers.{2i+1}.weight``, ``I``/``rnn1``/``rnn2``/``fc1-3``)
+    onto models/vocoder/wavernn.py. Covers bits mode (use_upsample_net=True,
+    use_aux_net=True — the shipped-model configuration); element-wise parity
+    vs a torch twin in tests/test_torch_parity_wavernn.py.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def bn(prefix: str) -> Tuple[Dict, Dict]:
+        return ({"scale": sd[f"{prefix}.weight"].copy(),
+                 "bias": sd[f"{prefix}.bias"].copy()},
+                {"mean": sd[f"{prefix}.running_mean"].copy(),
+                 "var": sd[f"{prefix}.running_var"].copy()})
+
+    rp: Dict[str, Any] = {}
+    rs: Dict[str, Any] = {}
+    rp["conv_in"] = {"kernel": _conv(sd["upsample.resnet.conv_in.weight"])}
+    rp["bn_in"], rs["bn_in"] = bn("upsample.resnet.batch_norm")
+    for i in range(res_blocks):
+        base = f"upsample.resnet.layers.{i}"
+        rp[f"res_{i}_conv1"] = {"kernel": _conv(sd[f"{base}.conv1.weight"])}
+        rp[f"res_{i}_bn1"], rs[f"res_{i}_bn1"] = bn(f"{base}.batch_norm1")
+        rp[f"res_{i}_conv2"] = {"kernel": _conv(sd[f"{base}.conv2.weight"])}
+        rp[f"res_{i}_bn2"], rs[f"res_{i}_bn2"] = bn(f"{base}.batch_norm2")
+    rp["conv_out"] = {
+        "kernel": _conv(sd["upsample.resnet.conv_out.weight"]),
+        "bias": sd["upsample.resnet.conv_out.bias"].copy()}
+
+    up: Dict[str, Any] = {"resnet": rp}
+    for i, f in enumerate(upsample_factors):
+        # up_layers interleaves Stretch2d (no params) with Conv2d(1,1,(1,k)):
+        # the conv sits at index 2i+1; its (1,1,1,k) weight is the single
+        # k-tap smoothing filter shared across mel bins -> our (k,1,1) param
+        w = sd[f"upsample.up_layers.{2 * i + 1}.weight"]
+        up[f"smooth_{i}_kernel"] = np.ascontiguousarray(
+            w.reshape(-1)[:, None, None])
+
+    cell: Dict[str, Any] = {
+        "I": {"kernel": _t(sd["I.weight"]), "bias": sd["I.bias"].copy()},
+        "rnn1": _gru_gates(sd["rnn1.weight_ih_l0"], sd["rnn1.weight_hh_l0"],
+                           sd["rnn1.bias_ih_l0"], sd["rnn1.bias_hh_l0"]),
+        "rnn2": _gru_gates(sd["rnn2.weight_ih_l0"], sd["rnn2.weight_hh_l0"],
+                           sd["rnn2.bias_ih_l0"], sd["rnn2.bias_hh_l0"]),
+        "fc1": {"kernel": _t(sd["fc1.weight"]), "bias": sd["fc1.bias"].copy()},
+        "fc2": {"kernel": _t(sd["fc2.weight"]), "bias": sd["fc2.bias"].copy()},
+        "fc3": {"kernel": _t(sd["fc3.weight"]), "bias": sd["fc3.bias"].copy()},
+    }
+    params = {"upsample": up, "cell": cell}
+    batch_stats = {"upsample": {"resnet": rs}}
+    return params, batch_stats

@@ -81,6 +81,19 @@ class Synthesizer:
                 voc_vars["batch_stats"] = vckpt["batch_stats"]
             self.vocoder_variables = jax.device_put(voc_vars)
             self.vocoder_ap = AudioProcessor(**self.vocoder_config.audio)
+            # WaveRNN generates prod(upsample_factors) samples per mel frame;
+            # if that disagrees with the audio config's hop_length the output
+            # would be silently mis-trimmed/misaligned (the external fatchord
+            # reference asserts total_scale == hop_length for the same
+            # reason). Fail loudly at load instead.
+            from tts_tpu.models.vocoder.wavernn import WaveRNN
+            if isinstance(self.vocoder_model, WaveRNN):
+                if self.vocoder_model.hop != self.vocoder_ap.hop_length:
+                    raise ValueError(
+                        f"WaveRNN upsample_factors product "
+                        f"({self.vocoder_model.hop}) != vocoder audio "
+                        f"hop_length ({self.vocoder_ap.hop_length}); "
+                        f"fix the vocoder config")
             # pack once for the whole-generator Pallas megakernel (the
             # fastest serving path; ops/pallas/fused_melgan.py)
             self._megakernel_packed = None
@@ -166,20 +179,38 @@ class Synthesizer:
         hop = getattr(self.vocoder_ap, "hop_length", 256)
         return wav[:n * hop] if n < nb else wav
 
-    def prewarm(self, buckets: Optional[List[int]] = None) -> None:
+    def prewarm(self, buckets: Optional[List[int]] = None,
+                speaker_id: Optional[int] = None,
+                mel_buckets: Optional[List[int]] = None) -> None:
         """Compile the serving graphs for each text-length bucket up front
         (server --prewarm): each distinct bucket is a separate XLA program
         whose cold compile costs minutes through the device tunnel —
         paying them at boot keeps first-user-request latency at the warm
         ~140 ms (measured 2026-08-21, scripts/bench_single_stream.py).
-        With the persistent compilation cache only the first boot pays."""
-        from tts_tpu.infer.synthesis import TEXT_BUCKETS
+        With the persistent compilation cache only the first boot pays.
+
+        ``speaker_id`` is forwarded so multi-speaker models compile the
+        graph they will actually serve (an int input changes no XLA
+        program, but a model *requiring* speaker conditioning would raise
+        on None). ``mel_buckets`` additionally compiles the vocoder for
+        those mel-frame bucket lengths (multiples of 32, see _vocode) —
+        the text-driven prewarm only reaches the mel buckets its fixed
+        sentences happen to produce; real requests can land on others."""
         t0 = time.time()
+        if speaker_id is None and self.tts_config.get("num_speakers", 1) > 1:
+            speaker_id = 0
+        from tts_tpu.infer.synthesis import TEXT_BUCKETS
         # beyond 256 symbols is past the longest realistic single sentence
         todo = buckets if buckets else [b for b in TEXT_BUCKETS if b <= 256]
         for b in todo:
-            self.tts("a" * max(1, b - 2) + ".")
-        print(f" > Prewarmed {len(todo)} text buckets "
+            self.tts("a" * max(1, b - 2) + ".", speaker_id=speaker_id)
+        n_mel = 0
+        if mel_buckets and self.vocoder_model is not None:
+            n_mels = self.tts_config["audio"].get("num_mels", 80)
+            for mb in mel_buckets:
+                self._vocode(np.zeros((mb, n_mels), np.float32))
+                n_mel += 1
+        print(f" > Prewarmed {len(todo)} text buckets + {n_mel} mel buckets "
               f"in {time.time() - t0:.1f}s", flush=True)
 
     def tts(self, text: str, speaker_id: Optional[int] = None) -> np.ndarray:

@@ -258,6 +258,13 @@ class MelganDiscriminator(nn.Module):
     # gan_pallas). On CPU "auto" stays "conv". The two XLA-level
     # re-lowerings remain the measured-negative record (hybrid-wgrad
     # 194.4 ms, tap_shift 958.9 ms — 2026-08-20).
+    # NOTE "auto" resolves via jax.default_backend() at TRACE time, so
+    # discriminator gradients take different code paths on CPU vs TPU
+    # (XLA conv wgrad vs the Pallas kernel). Param trees interchange and
+    # both paths are equivalence-tested, but a CPU-green run does not
+    # exercise the TPU production gradient path — the device verify
+    # checklist (CLAUDE.md) includes one non-interpret TPU run of
+    # tests/test_grouped_conv_grad.py for exactly this reason.
     conv_lowering: str = "auto"
 
     @nn.compact

@@ -115,14 +115,21 @@ class UpsampleNetwork(nn.Module):
 
         x = mel
         for i, f in enumerate(self.upsample_factors):
-            # nearest stretch then a smoothing depthwise conv over 2f+1
-            # taps (≙ Stretch2d + Conv2d(1, 1, (1, 2f+1)) ones/(2f+1))
+            # nearest stretch then a smoothing conv over 2f+1 taps with ONE
+            # k-tap filter SHARED across all mel bins — the fatchord
+            # parameterization (Stretch2d + Conv2d(1, 1, (1, 2f+1)) filled
+            # 1/k), stored as a (k, 1, 1) param so external checkpoints
+            # port 1:1 (compat/torch_port.py::port_wavernn); broadcast to a
+            # depthwise kernel at apply time.
             x = jnp.repeat(x, f, axis=1)
             k = 2 * f + 1
-            x = nn.Conv(x.shape[-1], (k,), padding="SAME", use_bias=False,
-                        feature_group_count=x.shape[-1],
-                        kernel_init=nn.initializers.constant(1.0 / k),
-                        name=f"smooth_{i}")(x)
+            kern = self.param(f"smooth_{i}_kernel",
+                              nn.initializers.constant(1.0 / k), (k, 1, 1))
+            x = jax.lax.conv_general_dilated(
+                x, jnp.broadcast_to(kern, (k, 1, x.shape[-1])),
+                window_strides=(1,), padding="SAME",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=x.shape[-1])
         x = x[:, self.pad * total:-(self.pad * total) or None]
         return x, aux
 

@@ -112,3 +112,58 @@ def make_dp_train_step(
         out_specs=(state_spec, state_spec),
         check_vma=False)
     return jax.jit(smapped, donate_argnums=(0,))
+
+
+def make_glow_dp_train_step(model, tx, mesh: Mesh, axis: str = "data",
+                            train: bool = True) -> Callable:
+    """Jitted SPMD Glow-TTS train step (MAS in-graph, per shard).
+
+    Mirrors the single-device step in train/trainer_glow.py::_step —
+    signature step(params, opt_state, batch, rng) -> (params, opt_state,
+    losses) — with the forward (incl. monotonic alignment search) running
+    per-device on its batch shard and grads/losses pmean'd over ``axis``
+    (≙ apply_gradient_allreduce + reduce_tensor,
+    /root/reference/TTS/tts/utils/distribute.py:53-116; the reference's
+    Glow trainer wraps the model in DDP/apex the same way,
+    /root/reference/TTS/bin/train_glow_tts.py).
+
+    Data-dependent ActNorm init (apply_ddi) happens BEFORE replication, on
+    one global batch — matching the reference where data_depended_init runs
+    per-process pre-DDP and rank-0 params are then broadcast
+    (train_glow_tts.py:129-143 + distribute.py:78-81).
+
+    With uniform text/mel lengths across items, pmean of the per-shard
+    normalized losses equals the global-batch loss, so this step is
+    numerically checkable against the single-device step (train=False;
+    see __graft_entry__.dryrun_multichip).
+    """
+    import optax
+
+    from tts_tpu.models.glow_tts import glow_tts_loss
+
+    def per_shard(params, opt_state, batch, rng):
+        drop_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p}, batch["text"], batch["text_lengths"],
+                batch["mel"], batch["mel_lengths"],
+                speaker_ids=batch.get("speaker_ids"),
+                train=train, rngs={"dropout": drop_rng})
+            losses = glow_tts_loss(out, batch["text_lengths"])
+            return losses["loss"], losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(params)
+        grads = jax.lax.pmean(grads, axis)
+        losses = jax.lax.pmean(losses, axis)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, losses
+
+    rep, shard = P(), P(axis)
+    smapped = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(rep, rep, shard, rep),
+        out_specs=(rep, rep, rep),
+        check_vma=False)
+    return jax.jit(smapped, donate_argnums=(0, 1))
