@@ -33,15 +33,25 @@ def _fence(x):
     return float(jnp.sum(x)) if hasattr(x, "dtype") else float(x)
 
 
-def _time_steps(run_one, iters=10, warmup=2):
+def _time_steps(run_one, iters=10, warmup=2, reps=3):
+    """Median of ``reps`` independent timed loops (run-to-run spread on
+    this tunnel is ~3-12%, CLAUDE.md — single loops are not defensible);
+    prints the spread alongside each caller's median."""
     for _ in range(warmup):
         out = run_one()
     _fence(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run_one()
-    _fence(out)
-    return (time.perf_counter() - t0) / iters
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = run_one()
+        _fence(out)
+        times.append((time.perf_counter() - t0) / iters)
+    times.sort()
+    med = times[len(times) // 2]
+    print(f"    [reps={reps}: min {times[0]*1e3:.2f} med {med*1e3:.2f} "
+          f"max {times[-1]*1e3:.2f} ms]", flush=True)
+    return med
 
 
 def taco2_batch(rng, r=2):
@@ -159,7 +169,7 @@ def bench_encoder():
           f"({N}x{M} utters, T={T})", flush=True)
 
 
-def bench_gan(conv_lowering="auto"):
+def bench_gan(conv_lowering="auto", mixed_precision=False):
     from tts_tpu.models.vocoder.melgan import MelganMultiscaleDiscriminator
     from tts_tpu.models.vocoder.multiband_melgan import \
         MultibandMelganGenerator
@@ -180,7 +190,8 @@ def bench_gan(conv_lowering="auto"):
                                make_optimizer(lr=1e-4),
                                make_optimizer(lr=1e-4))
     step = make_gan_train_step(gen, disc, hop_len=hop, conv_pad=0,
-                               train_disc=True, use_pqmf=True)
+                               train_disc=True, use_pqmf=True,
+                               mixed_precision=mixed_precision)
     holder = {"sg": sg, "sd": sd}
 
     def run_one():
@@ -191,6 +202,8 @@ def bench_gan(conv_lowering="auto"):
     t = _time_steps(run_one)
     frames = gan_b * seg_frames
     tag = "gan G+D" if conv_lowering == "auto" else f"gan {conv_lowering}"
+    if mixed_precision:
+        tag += " bf16"
     print(f"{tag:15s}: {t*1e3:8.2f} ms/step  {1/t:6.2f} steps/s  "
           f"{frames/t:9.0f} mel-frames/s  (B={gan_b}, seg={seg_frames}f)",
           flush=True)
@@ -215,5 +228,7 @@ if __name__ == "__main__":
         bench_gan()
     if which in ("all", "gan_pallas"):
         bench_gan(conv_lowering="pallas_wgrad")
+    if which in ("all", "gan_bf16"):
+        bench_gan(mixed_precision=True)
     if which in ("all", "encoder"):
         bench_encoder()

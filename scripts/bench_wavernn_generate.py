@@ -1,0 +1,62 @@
+"""WaveRNN autoregressive sampling throughput on the real chip.
+
+Full fatchord serving geometry (rnn/fc 512, 10 res blocks, hop 256 via
+upsample (4,8,8), 10-bit mu-law — the reference's shipped-model config,
+/root/reference/TTS/server/synthesizer.py:102-118). Reports samples/s and
+RTF at B=1 and B=8 so users know how far the sequential scan is from
+real time (the parallel MB-MelGAN megakernel remains the production path).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/tts_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+from tts_tpu.models.vocoder.wavernn import WaveRNN
+
+SR = 22050
+FRAMES = int(os.environ.get("WRNN_FRAMES", "40"))  # valid frames -> hop*F samples
+
+
+def main():
+    model = WaveRNN()  # defaults == fatchord serving config, hop 256
+    rng = jax.random.PRNGKey(0)
+    pad = model.pad
+    for B in (1, 8):
+        mel = jax.random.normal(rng, (B, FRAMES + 2 * pad, model.feat_dims))
+        variables = model.init(rng, jnp.zeros((B, 4 * model.hop)),
+                               mel[:, : 4 + 2 * pad])
+
+        @jax.jit
+        def gen(v, m, key):
+            return model.apply(v, m, key, method=WaveRNN.generate)
+
+        wav = gen(variables, mel, rng)
+        float(wav.sum())  # compile + fence (tunnel: scalar fetch only fence)
+        reps, iters = 3, 2
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                wav = gen(variables, mel, rng)
+            float(wav.sum())
+            times.append((time.perf_counter() - t0) / iters)
+        times.sort()
+        dt = times[reps // 2]
+        n = B * wav.shape[1]
+        audio_s = wav.shape[1] / SR
+        print(f"B={B}: {dt*1e3:8.1f} ms for {wav.shape[1]} samples/item "
+              f"-> {n/dt:10.0f} samples/s total, RTF {dt/audio_s:7.2f} "
+              f"(min {times[0]*1e3:.1f} max {times[-1]*1e3:.1f})",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

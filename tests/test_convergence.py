@@ -84,6 +84,14 @@ def test_tacotron2_converges_on_aligned_corpus():
     for i in range(400):
         state, losses = step(state, batch, jax.random.fold_in(rng, i))
         losses_hist.append(float(losses["decoder_loss"]))
+        # deterministic early exit once the assertions below already hold
+        # (suite time budget, VERDICT r3 item 8): same criteria, just
+        # checked online with margin
+        if i >= 160 and i % 20 == 0:
+            recent = np.mean(losses_hist[-10:])
+            if (recent < 0.12 * losses_hist[0]
+                    and np.mean(losses_hist[-50:]) < 1.15 * recent):
+                break
 
     first, final = losses_hist[0], np.mean(losses_hist[-10:])
     assert final < 0.15 * first, (first, final)
@@ -297,6 +305,10 @@ def test_multispeaker_embedding_converges_and_conditions():
         state, losses = step(state, batch, jax.random.fold_in(rng, i))
         if first is None:
             first = float(losses["decoder_loss"])
+        # NO early exit here: the swap-id conditioning margin below keeps
+        # growing well after the loss plateaus (loss < 0.1*first at ~step
+        # 170 gave err_swap-err_true 0.26 < the 0.3 bar — measured), so
+        # loss is not a safe proxy for embedding separation
     final = float(losses["decoder_loss"])
     assert final < 0.2 * first, (first, final)
 
@@ -371,6 +383,11 @@ def test_gst_style_conditioning_converges():
         state, losses = step(state, batch, jax.random.fold_in(rng, i))
         if first is None:
             first = float(losses["decoder_loss"])
+        # early exit with margin (suite time budget); the GST-separation
+        # probes below need real convergence, hence the stricter bar
+        if i >= 150 and i % 20 == 0 \
+                and float(losses["decoder_loss"]) < 0.125 * first:
+            break
     final = float(losses["decoder_loss"])
     assert final < 0.25 * first, (first, final)
 

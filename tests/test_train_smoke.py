@@ -169,3 +169,44 @@ class TestComputeStatistics:
         cfg["stats_path"] = out
         ap = AudioProcessor(**cfg)
         assert ap.mel_scaler is not None
+
+
+class TestWaveRNNHopValidation:
+    def test_hop_mismatch_raises_at_load(self, trained, tmp_path):
+        """ADVICE r3 (medium): a WaveRNN whose upsample product disagrees
+        with the vocoder audio hop_length must fail loudly at Synthesizer
+        load, not silently mis-trim audio."""
+        import json
+
+        import jax
+        import jax.numpy as jnp
+        import pytest as _pytest
+
+        from tts_tpu.infer.synthesizer import Synthesizer
+        from tts_tpu.models.vocoder.wavernn import WaveRNN
+        from tts_tpu.train.checkpoint import save_checkpoint
+
+        gen = WaveRNN(bits=8, rnn_dims=16, fc_dims=16, feat_dims=80,
+                      compute_dims=16, res_out_dims=16, res_blocks=1,
+                      pad=2, upsample_factors=(2, 2))  # hop 4 != 256
+        rng = jax.random.PRNGKey(0)
+        v = gen.init(rng, jnp.zeros((1, 2 * 4)), jnp.zeros((1, 6, 80)))
+        voc_dir = tmp_path / "wavernn_bad"
+        ckpt = save_checkpoint(str(voc_dir), params=v["params"],
+                               batch_stats=v.get("batch_stats"), step=1)
+        cfg = json.load(open(os.path.join(trained["out"], "config.json")))
+        voc_cfg = {
+            "generator_model": "wavernn",
+            "generator_model_params": {
+                "bits": 8, "rnn_dims": 16, "fc_dims": 16,
+                "compute_dims": 16, "res_out_dims": 16, "res_blocks": 1,
+                "pad": 2, "upsample_factors": [2, 2]},
+            "audio": cfg["audio"],  # hop_length 256
+        }
+        cfg_path = voc_dir / "config.json"
+        with open(cfg_path, "w") as f:
+            json.dump(voc_cfg, f)
+        with _pytest.raises(ValueError, match="hop_length"):
+            Synthesizer(trained["ckpt"],
+                        os.path.join(trained["out"], "config.json"),
+                        str(ckpt), str(cfg_path))

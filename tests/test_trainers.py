@@ -117,3 +117,33 @@ class TestEncoderTrainer:
         emb = trainer.compute_embeddings(
             np.zeros((1, 30, 40), np.float32))
         assert emb.shape == (1, 16)
+
+
+class TestGlowTrainerDP:
+    def test_one_epoch_data_parallel(self, lj_root, tmp_path):
+        """Glow trainer SPMD over a 2-device data mesh (MAS in-graph per
+        shard, DDI pre-replication; VERDICT r3 item 5)."""
+        import jax
+
+        from tts_tpu.parallel import make_mesh
+        from tts_tpu.train.trainer_glow import GlowTTSTrainer
+
+        c = AttrDict({
+            "model": "glow_tts", "run_name": "glow_dp_smoke", "audio": AUDIO,
+            "batch_size": 2, "epochs": 1, "lr": 1e-3,
+            "use_phonemes": False, "text_cleaner": "english_cleaners",
+            "save_step": 100,
+            "datasets": [{"name": "ljspeech", "path": lj_root,
+                          "meta_file_train": "metadata.csv"}],
+            "output_path": str(tmp_path),
+        })
+        mesh = make_mesh((("data", 2),), devices=jax.devices()[:2])
+        trainer = GlowTTSTrainer(c, str(tmp_path), mesh=mesh)
+        trainer.model = trainer.model.clone(
+            hidden_channels_enc=32, hidden_channels_dec=32,
+            filter_channels=64, filter_channels_dp=32, num_layers_enc=1,
+            num_flow_blocks_dec=2)
+        trainer.fit()
+        assert trainer.global_step >= 2
+        ckpt = trainer.save_checkpoint()
+        assert os.path.isfile(ckpt)

@@ -159,3 +159,59 @@ class TestGANTrainStep:
             if first is None:
                 first = float(losses["G_loss"])
         assert float(losses["G_loss"]) < first
+
+
+class TestGANMixedPrecision:
+    def test_mixed_precision_step_matches_f32_closely(self):
+        """bf16 GAN step: params stay f32 masters, losses finite and close
+        to the f32 step's, both nets update (the AMP equivalent the
+        reference gets from apex for TTS but never had for vocoders)."""
+        gen = MelganGenerator(base_channels=32, num_res_blocks=1,
+                              upsample_factors=(4, 4, 2, 2))
+        disc = MelganMultiscaleDiscriminator(num_scales=2)
+        batch = _gan_batch()
+        sg, sd = create_gan_states(gen, disc, batch, RNG,
+                                   make_optimizer(lr=1e-3),
+                                   make_optimizer(lr=1e-3))
+        sg_mp = jax.tree_util.tree_map(jnp.array, sg)
+        sd_mp = jax.tree_util.tree_map(jnp.array, sd)
+
+        step32 = make_gan_train_step(gen, disc, hop_len=64, conv_pad=0,
+                                     train_disc=True, jit=True)
+        step16 = make_gan_train_step(gen, disc, hop_len=64, conv_pad=0,
+                                     train_disc=True, jit=True,
+                                     mixed_precision=True)
+        sg32, sd32, l32 = step32(sg, sd, batch, _gan_batch(), RNG)
+        sg16, sd16, l16 = step16(sg_mp, sd_mp, batch, _gan_batch(), RNG)
+
+        for k in ("G_loss", "D_loss"):
+            assert np.isfinite(float(l16[k]))
+            # bf16 has ~3 decimal digits; the loss scale here is O(1-20)
+            np.testing.assert_allclose(float(l16[k]), float(l32[k]),
+                                       rtol=0.1)
+        # masters stay f32
+        for leaf in jax.tree_util.tree_leaves(sg16.params):
+            assert leaf.dtype == jnp.float32
+        for leaf in jax.tree_util.tree_leaves(sd16.params):
+            assert leaf.dtype == jnp.float32
+
+    def test_mixed_precision_multiband_pqmf_step(self):
+        """bf16 + PQMF: the filter-bank convs upcast bf16 subbands/audio to
+        f32 internally (pqmf.py) — this step used to TypeError on
+        lax.conv dtype mismatch."""
+        gen = MultibandMelganGenerator(base_channels=32, num_res_blocks=1,
+                                       upsample_factors=(2, 4, 2))
+        disc = MelganMultiscaleDiscriminator(num_scales=2)
+        batch = {
+            "audio": jax.random.normal(RNG, (2, 8 * 64, 1)) * 0.1,
+            "mel": jax.random.normal(RNG, (2, 8, 80)),
+        }
+        sg, sd = create_gan_states(gen, disc, batch, RNG,
+                                   make_optimizer(lr=1e-3),
+                                   make_optimizer(lr=1e-3))
+        step = make_gan_train_step(gen, disc, hop_len=64, conv_pad=0,
+                                   use_pqmf=True, train_disc=True, jit=True,
+                                   mixed_precision=True)
+        _, _, losses = step(sg, sd, batch, batch, RNG)
+        assert np.isfinite(float(losses["G_loss"]))
+        assert np.isfinite(float(losses["D_loss"]))

@@ -113,3 +113,61 @@ class TestWaveRNN:
             "audio": {"num_mels": 20}})
         assert isinstance(gen, WaveRNN)
         assert gen.hop == 16
+
+
+class TestWaveRNNConvergence:
+    def test_overfit_tone_and_resample_spectrum(self):
+        """Convergence evidence (the harness used for taco2/GST/speakers,
+        extended per VERDICT r3 item 4c): overfit a fixed sine on one
+        conditioning mel; the CE loss must collapse and near-greedy
+        ``generate()`` must reproduce the tone — dominant FFT bin of the
+        sampled audio == the target's, and sample-domain correlation
+        is high."""
+        rng = jax.random.PRNGKey(0)
+        model = WaveRNN(bits=BITS, rnn_dims=48, fc_dims=48, feat_dims=8,
+                        compute_dims=16, res_out_dims=16, res_blocks=1,
+                        pad=PAD, upsample_factors=(2, 2), mulaw=True)
+        hop = 4
+        frames = 16
+        t = frames * hop              # 64 samples
+        period = 16
+        wav = 0.6 * jnp.sin(2 * jnp.pi * jnp.arange(t) / period)[None]
+        mel = jax.random.normal(rng, (1, frames + 2 * PAD, 8)) * 0.5
+
+        ids = mulaw_encode_jnp(wav, 2 ** BITS)
+        x_prev = jnp.pad(label_to_float(ids, BITS)[:, :-1], ((0, 0), (1, 0)))
+        variables = model.init(rng, x_prev, mel)
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        tx = optax.adam(2e-3)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, batch_stats, opt):
+            def loss_fn(p):
+                logits, mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    x_prev, mel, train=True, mutable=["batch_stats"])
+                return wavernn_loss(logits, ids), mut["batch_stats"]
+            (loss, bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt = tx.update(grads, opt, params)
+            return optax.apply_updates(params, updates), bs, opt, loss
+
+        loss0 = None
+        for i in range(400):
+            params, batch_stats, opt, loss = step(params, batch_stats, opt)
+            if loss0 is None:
+                loss0 = float(loss)
+        assert float(loss) < 0.1 * loss0, (loss0, float(loss))
+
+        gen = model.apply({"params": params, "batch_stats": batch_stats},
+                          mel, jax.random.PRNGKey(1), 0.05,
+                          method=model.generate)
+        gen = np.asarray(gen)[0]
+        target = np.asarray(wav)[0]
+        # dominant (non-DC) frequency must match
+        gbin = int(np.abs(np.fft.rfft(gen))[1:].argmax()) + 1
+        tbin = int(np.abs(np.fft.rfft(target))[1:].argmax()) + 1
+        assert gbin == tbin, (gbin, tbin)
+        corr = np.corrcoef(gen, target)[0, 1]
+        assert corr > 0.8, corr

@@ -70,12 +70,21 @@ class Synthesizer:
             vckpt = load_checkpoint(vocoder_checkpoint)
             params = vckpt["params"]
             # fold weight norm once at load (≙ remove_weight_norm,
-            # synthesizer.py:81-91) — serving runs bare convs
-            if getattr(self.vocoder_model, "use_weight_norm", False):
-                from tts_tpu.models.vocoder.fold import fold_weight_norm
-                params = fold_weight_norm(params)
-                self.vocoder_model = self.vocoder_model.clone(
-                    use_weight_norm=False)
+            # synthesizer.py:81-91) — serving runs bare convs. Run the fold
+            # and megakernel packing ON THE HOST CPU DEVICE: dispatched
+            # eagerly to the TPU they are hundreds of tiny ops x ~25 ms
+            # tunnel RTT (~60 s of the measured 65 s load, probe_cold_start
+            # 2026-08-21); on CPU they take ~1 s, then one device_put.
+            try:
+                cpu = jax.devices("cpu")[0]
+            except RuntimeError:  # no host CPU platform registered
+                cpu = None
+            with jax.default_device(cpu):
+                if getattr(self.vocoder_model, "use_weight_norm", False):
+                    from tts_tpu.models.vocoder.fold import fold_weight_norm
+                    params = fold_weight_norm(params)
+                    self.vocoder_model = self.vocoder_model.clone(
+                        use_weight_norm=False)
             voc_vars = {"params": params}
             if vckpt.get("batch_stats"):   # e.g. WaveRNN's MelResNet BNs
                 voc_vars["batch_stats"] = vckpt["batch_stats"]
@@ -95,7 +104,9 @@ class Synthesizer:
                         f"hop_length ({self.vocoder_ap.hop_length}); "
                         f"fix the vocoder config")
             # pack once for the whole-generator Pallas megakernel (the
-            # fastest serving path; ops/pallas/fused_melgan.py)
+            # fastest serving path; ops/pallas/fused_melgan.py) — on the
+            # host CPU device for the same RTT reason as the fold above,
+            # then one transfer
             self._megakernel_packed = None
             from tts_tpu.models.vocoder.melgan import MelganGenerator
             if (isinstance(self.vocoder_model, MelganGenerator)
@@ -104,8 +115,10 @@ class Synthesizer:
                                 for f in self.vocoder_model.upsample_factors)):
                 from tts_tpu.ops.pallas.fused_melgan import \
                     pack_generator_params
-                self._megakernel_packed = pack_generator_params(
-                    self.vocoder_model, params, fuse_pqmf=True)
+                with jax.default_device(cpu):
+                    packed = pack_generator_params(
+                        self.vocoder_model, params, fuse_pqmf=True)
+                self._megakernel_packed = jax.device_put(packed)
 
     def _vocode(self, mel_norm: np.ndarray) -> np.ndarray:
         """Normalized mel -> waveform through the GAN vocoder

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -44,8 +43,13 @@ def _fold(node: Dict[str, Any]) -> Dict[str, Any]:
         for p in path[:-1]:
             sub = sub[p]
         leaf = sub[path[-1]]
-        kernel = jnp.asarray(leaf["kernel"])
+        # pure numpy on the HOST: at checkpoint load this runs once per
+        # conv; as jnp eager ops each tiny op costs a dispatch (and through
+        # the axon tunnel, a ~25 ms RTT or a per-op CPU jit) — measured
+        # ~10 s of a cold CLI boot (probe_cold_start 2026-08-21)
+        kernel = np.asarray(leaf["kernel"], np.float32)
         axes = tuple(range(kernel.ndim - 1))
-        norm = jnp.sqrt(jnp.sum(kernel**2, axis=axes, keepdims=True))
-        leaf["kernel"] = kernel * (jnp.asarray(scale) / jnp.maximum(norm, 1e-12))
+        norm = np.sqrt(np.sum(kernel**2, axis=axes, keepdims=True))
+        leaf["kernel"] = kernel * (np.asarray(scale, np.float32)
+                                   / np.maximum(norm, 1e-12))
     return out

@@ -94,18 +94,23 @@ class PQMF:
         self._ana_pad = (-u_lo, u_hi)
 
     def analysis(self, x: Array) -> Array:
-        """(B, T, 1) -> (B, T // N, N) subband signals (polyphase)."""
+        """(B, T, 1) -> (B, T // N, N) subband signals (polyphase).
+
+        Runs in f32 regardless of input dtype (the bf16 mixed-precision GAN
+        step feeds bf16 audio; the filter bank stays f32 for reconstruction
+        accuracy and lax.conv requires matching operand dtypes)."""
         B, T, _ = x.shape
-        frames = x.reshape(B, T // self.N, self.N)
+        frames = x.astype(jnp.float32).reshape(B, T // self.N, self.N)
         frames = jnp.pad(frames, ((0, 0), self._ana_pad, (0, 0)))
         return lax.conv_general_dilated(
             frames, self._ana_poly, window_strides=(1,), padding="VALID",
             dimension_numbers=("NWC", "WIO", "NWC"))
 
     def synthesis(self, x: Array) -> Array:
-        """(B, T // N, N) -> (B, T, 1) reconstructed waveform (polyphase)."""
+        """(B, T // N, N) -> (B, T, 1) reconstructed waveform (polyphase).
+        f32 in/out (see analysis)."""
         B, T, N = x.shape
-        xp = jnp.pad(x, ((0, 0), self._syn_pad, (0, 0)))
+        xp = jnp.pad(x.astype(jnp.float32), ((0, 0), self._syn_pad, (0, 0)))
         phases = lax.conv_general_dilated(
             xp, self._syn_poly, window_strides=(1,), padding="VALID",
             dimension_numbers=("NWC", "WIO", "NWC"))  # (B, T, N phases)

@@ -87,12 +87,15 @@ def grouped_conv_wgrad(x: jnp.ndarray, dy: jnp.ndarray, kernel_size: int,
     L4 = (L + 2 * pad) // s
     assert (k - 1) // s + Lout <= L4
 
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+    # f32 in-kernel regardless of caller dtype (the bf16 mixed-precision GAN
+    # step feeds bf16 x/dy): the kernel's lane reduces would otherwise
+    # accumulate in bf16. The kernel is VPU-MAC-bound, so the upcast is free.
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (pad, pad), (0, 0)))
     # (B, L4, S, g, m) -> (m, S, g, B, L4) -> (m*S*g, B, L4): lanes = time
     xT = xp.reshape(B, L4, s, g, m).transpose(4, 2, 3, 0, 1) \
            .reshape(m * s * g, B, L4)
     # (B, Lout, g, n) -> (n, g, B, Lout) -> (n*g, B, Lout)
-    dyT = dy.reshape(B, Lout, g, n).transpose(3, 2, 0, 1) \
+    dyT = dy.astype(jnp.float32).reshape(B, Lout, g, n).transpose(3, 2, 0, 1) \
             .reshape(n * g, B, Lout)
 
     bb = min(block_b, B)
@@ -173,7 +176,7 @@ def grouped_conv_dgrad(dy: jnp.ndarray, kernel: jnp.ndarray, x_len: int,
     assert Lout == (L + 2 * pad - k) // s + 1
     L4 = (L + 2 * pad) // s
 
-    dyT = dy.reshape(B, Lout, g, n).transpose(3, 2, 0, 1) \
+    dyT = dy.astype(jnp.float32).reshape(B, Lout, g, n).transpose(3, 2, 0, 1) \
             .reshape(n * g, B, Lout)
     # (k, m, g, n) -> (g, k, m, n) -> (g, k*m*n): col = (t*m+i)*n+j
     wT = kernel.reshape(k, m, g, n).transpose(2, 0, 1, 3) \

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -122,6 +123,20 @@ def main(argv=None):
                              "moves the minutes-long first-request XLA "
                              "compile (persistent-cached thereafter) out of "
                              "user-visible latency")
+    parser.add_argument("--exit-after-prewarm", action="store_true",
+                        help="with --prewarm: exit 0 once every bucket is "
+                             "compiled instead of serving. Use at "
+                             "wheel-build / install time to produce a "
+                             "persistent compilation cache; point "
+                             "--cache-seed-out (or copy the cache dir) at "
+                             "tts_tpu/server/cache_seed/ to ship it — new "
+                             "machines then boot to first audio without "
+                             "paying the tunnel compiles "
+                             "(utils/jax_cache.py seeding)")
+    parser.add_argument("--cache-seed-out", default=None,
+                        help="after prewarm, copy the persistent cache "
+                             "entries into this directory (a cache seed "
+                             "artifact for packaging)")
     args = parser.parse_args(argv)
 
     if not args.tts_checkpoint:
@@ -135,6 +150,23 @@ def main(argv=None):
                         args.vocoder_checkpoint, args.vocoder_config)
     if args.prewarm:
         synth.prewarm()
+        if args.cache_seed_out:
+            import shutil
+            from tts_tpu.utils.jax_cache import _DEFAULT_DIR
+            cache_dir = os.environ.get("TTS_TPU_COMPILE_CACHE", _DEFAULT_DIR)
+            os.makedirs(args.cache_seed_out, exist_ok=True)
+            n = 0
+            for name in os.listdir(cache_dir):
+                src = os.path.join(cache_dir, name)
+                if os.path.isfile(src):
+                    shutil.copy2(src, os.path.join(args.cache_seed_out, name))
+                    n += 1
+            print(f" > Cache seed: {n} entries -> {args.cache_seed_out}",
+                  flush=True)
+        if args.exit_after_prewarm:
+            print(" > Prewarm done, exiting (--exit-after-prewarm)",
+                  flush=True)
+            return
     server = create_server(synth, args.port)
     print(f" > Serving on http://localhost:{args.port}", flush=True)
     server.serve_forever()

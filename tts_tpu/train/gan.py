@@ -77,6 +77,7 @@ def make_gan_train_step(
     jit: bool = True,
     mesh=None,
     axis: str = "data",
+    mixed_precision: bool = False,
 ) -> Callable:
     """Returns step(state_G, state_D, batch_G, batch_D, rng) ->
     (state_G, state_D, losses). Build twice (train_disc=False for warmup).
@@ -84,19 +85,34 @@ def make_gan_train_step(
     With ``mesh``, the step runs SPMD over the mesh's data axis: per-shard
     G and D grads are pmean-reduced over ICI before the optimizer updates —
     the GAN data parallelism the reference never had (its vocoder training is
-    single-GPU; SURVEY.md §3.3 'TPU build must add DP for GAN training')."""
+    single-GPU; SURVEY.md §3.3 'TPU build must add DP for GAN training').
+
+    mixed_precision: run the G and D forwards in bfloat16 (params cast at
+    the step boundary — f32 masters stay in the optimizer; STFT/adversarial
+    losses and gradients are f32). Same recipe as make_train_step's AMP
+    equivalent; the step is weight/activation-HBM-traffic-bound
+    (profile_gan_step.py), which bf16 halves."""
     gkw = dict(gen_loss_kwargs or {})
     dkw = dict(disc_loss_kwargs or {})
     if use_pqmf:
         gkw.setdefault("use_subband_stft_loss", True)
 
+    from tts_tpu.train.state import _cast_floats
+
+    def _mp(tree):
+        return _cast_floats(tree, jnp.bfloat16) if mixed_precision else tree
+
+    def _f32(tree):
+        return _cast_floats(tree, jnp.float32) if mixed_precision else tree
+
     def _disc_apply(params, y, cond, rng):
         kwargs = {}
         if disc_takes_cond:
-            out = disc.apply({"params": params}, y, cond, rng=rng)
+            out = disc.apply({"params": params}, _mp(y), _mp(cond), rng=rng)
         else:
-            out = disc.apply({"params": params}, y)
-        return _as_lists(out)
+            out = disc.apply({"params": params}, _mp(y))
+        scores, feats = _as_lists(out)
+        return _f32(scores), _f32(feats)
 
     def step(state_G: GState, state_D: GState, batch_G: Dict, batch_D: Dict,
              rng) -> Tuple[GState, GState, Dict]:
@@ -106,21 +122,25 @@ def make_gan_train_step(
         rng_g, rng_d1, rng_d2 = jax.random.split(base, 3)
 
         # ---- generator update ----
+        d_params_mp = _mp(state_D.params) if train_disc else None
+
         def g_loss_fn(g_params):
-            y_hat, y_hat_sub = _gen_forward(gen, g_params, batch_G, rng_g,
+            b_G = dict(batch_G, mel=_mp(batch_G["mel"]))
+            y_hat, y_hat_sub = _gen_forward(gen, _mp(g_params), b_G, rng_g,
                                             hop_len, conv_pad, use_pqmf,
                                             needs_noise)
+            y_hat, y_hat_sub = _f32(y_hat), _f32(y_hat_sub)
             y_G = batch_G["audio"]
             kwargs = dict(gkw)
             if use_pqmf and y_hat_sub is not None:
                 kwargs["y_hat_sub"] = y_hat_sub
                 kwargs["y_sub"] = gen.pqmf.analysis(y_G)
             if train_disc:
-                scores_fake, feats_fake = _disc_apply(state_D.params, y_hat,
+                scores_fake, feats_fake = _disc_apply(d_params_mp, y_hat,
                                                       batch_G["mel"], rng_d1)
                 feats_real = None
                 if kwargs.get("use_feat_match_loss"):
-                    _, feats_real = _disc_apply(state_D.params, y_G,
+                    _, feats_real = _disc_apply(d_params_mp, y_G,
                                                 batch_G["mel"], rng_d1)
                 kwargs["scores_fake"] = scores_fake
                 kwargs["feats_fake"] = feats_fake
@@ -138,15 +158,17 @@ def make_gan_train_step(
 
         # ---- discriminator update (separate batch; G frozen) ----
         if train_disc:
-            y_hat_D, _ = _gen_forward(gen, jax.lax.stop_gradient(new_G.params),
-                                      batch_D, rng_d2, hop_len, conv_pad,
+            b_D = dict(batch_D, mel=_mp(batch_D["mel"]))
+            y_hat_D, _ = _gen_forward(gen,
+                                      _mp(jax.lax.stop_gradient(new_G.params)),
+                                      b_D, rng_d2, hop_len, conv_pad,
                                       use_pqmf, needs_noise)
             y_hat_D = jax.lax.stop_gradient(y_hat_D)
 
             def d_loss_fn(d_params):
-                scores_fake, _ = _disc_apply(d_params, y_hat_D,
+                scores_fake, _ = _disc_apply(_mp(d_params), y_hat_D,
                                              batch_D["mel"], rng_d2)
-                scores_real, _ = _disc_apply(d_params, batch_D["audio"],
+                scores_real, _ = _disc_apply(_mp(d_params), batch_D["audio"],
                                              batch_D["mel"], rng_d2)
                 dl = discriminator_loss(scores_fake, scores_real, **dkw)
                 return dl["D_loss"], dl

@@ -25,10 +25,20 @@ from tts_tpu.utils.loggers import ConsoleLogger, TensorboardLogger
 
 
 class GlowTTSTrainer:
-    def __init__(self, config: Dict[str, Any], output_path: str):
+    def __init__(self, config: Dict[str, Any], output_path: str, mesh=None):
+        """``mesh``/``use_data_parallel``: run the train step SPMD over a
+        'data' mesh (parallel.make_glow_dp_train_step — MAS in-graph per
+        shard, grads/losses pmean'd). DDI stays pre-replication on the
+        first global batch, matching the reference's pre-DDP
+        data_depended_init + rank-0 broadcast
+        (train_glow_tts.py:129-143, distribute.py:78-81)."""
         self.c = config
         self.output_path = output_path
         os.makedirs(output_path, exist_ok=True)
+        self.mesh = mesh
+        if mesh is None and config.get("use_data_parallel", False):
+            from tts_tpu.parallel import make_mesh
+            self.mesh = make_mesh((("data", -1),))
         self.ap = AudioProcessor(**config["audio"])
         self.meta_train, self.meta_eval = load_meta_data(config["datasets"])
 
@@ -91,10 +101,18 @@ class GlowTTSTrainer:
         variables = apply_ddi(self.model, variables, batch, ddi_rng)
         self.params = variables["params"]
         self.opt_state = self.tx.init(self.params)
+        if self.mesh is not None:
+            from tts_tpu.parallel import replicate
+            self.params = replicate(self.params, self.mesh)
+            self.opt_state = replicate(self.opt_state, self.mesh)
 
     def _step(self):
         if self._step_fn is None:
             model, tx = self.model, self.tx
+            if self.mesh is not None:
+                from tts_tpu.parallel import make_glow_dp_train_step
+                self._step_fn = make_glow_dp_train_step(model, tx, self.mesh)
+                return self._step_fn
 
             import optax
 
@@ -126,6 +144,9 @@ class GlowTTSTrainer:
             jb = {k: jnp.asarray(v) for k, v in batch.items()
                   if k != "item_idxs"}
             self._init_state(jb)
+            if self.mesh is not None:
+                from tts_tpu.parallel.data_parallel import shard_batch
+                jb = shard_batch(jb, self.mesh)
             self.rng, step_rng = jax.random.split(self.rng)
             self.params, self.opt_state, losses = step_fn(
                 self.params, self.opt_state, jb, step_rng)

@@ -16,9 +16,54 @@ _DEFAULT_DIR = os.environ.get("TTS_TPU_COMPILE_CACHE",
 
 def enable_persistent_cache(cache_dir: str = _DEFAULT_DIR,
                             min_compile_secs: float = 5.0) -> None:
-    """Idempotent: safe to call from every CLI main()."""
+    """Idempotent: safe to call from every CLI main().
+
+    First-boot seeding: if the cache dir has no entries and a seed
+    directory exists (``TTS_TPU_CACHE_SEED`` env var, or the wheel's
+    ``tts_tpu/server/cache_seed/`` package data — produced by
+    ``python -m tts_tpu.server.server --prewarm --exit-after-prewarm``
+    at wheel-build time), its entries are hard-linked/copied in, so a
+    brand-new machine skips the minutes-long tunnel compiles entirely
+    (the reference's Flask server boots in seconds because eager torch
+    never compiles; this is the XLA-runtime equivalent)."""
     import jax
 
+    _maybe_seed(cache_dir)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       min_compile_secs)
+
+
+def _seed_dirs():
+    cands = []
+    env = os.environ.get("TTS_TPU_CACHE_SEED")
+    if env:
+        cands.append(env)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cands.append(os.path.join(here, "server", "cache_seed"))
+    return [d for d in cands if os.path.isdir(d)]
+
+
+def _maybe_seed(cache_dir: str) -> None:
+    """Copy seed entries into an empty (or missing) cache dir. Entries are
+    content-addressed by XLA, so copying never corrupts; existing files are
+    left alone."""
+    import shutil
+
+    seeds = _seed_dirs()
+    if not seeds:
+        return
+    os.makedirs(cache_dir, exist_ok=True)
+    have = set(os.listdir(cache_dir))
+    for seed in seeds:
+        for name in os.listdir(seed):
+            if name in have:
+                continue
+            src = os.path.join(seed, name)
+            if not os.path.isfile(src):
+                continue
+            dst = os.path.join(cache_dir, name)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
