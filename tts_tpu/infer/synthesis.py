@@ -65,7 +65,17 @@ _JIT_CACHE_MAX = 32
 def _jit_for(key, build):
     fn = _JIT_CACHE.get(key)
     if fn is None:
-        fn = _JIT_CACHE[key] = jax.jit(build())
+        # AotJit == jax.jit + per-shape on-disk AOT executable store
+        # (utils/aot.py): a fresh process restores the compiled TTS graph
+        # in ~1 s instead of paying the remote compile/link. Name the
+        # store entry by a digest of the static key (model config + static
+        # inference args) so distinct models never collide.
+        import hashlib
+
+        from tts_tpu.utils.aot import AotJit
+        name = "tts_" + hashlib.sha256(
+            repr(key).encode()).hexdigest()[:16]
+        fn = _JIT_CACHE[key] = AotJit(build(), name)
         while len(_JIT_CACHE) > _JIT_CACHE_MAX:
             _JIT_CACHE.popitem(last=False)
     else:

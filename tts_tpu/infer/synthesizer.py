@@ -152,7 +152,12 @@ class Synthesizer:
         def jitted(name, build):
             fn = self._vocoder_jit.get(name)
             if fn is None:
-                fn = self._vocoder_jit[name] = jax.jit(build())
+                # AotJit == jax.jit + on-disk AOT executable store: a
+                # rebooted server restores the compiled vocoder in ~1 s
+                # instead of re-linking through the tunnel (utils/aot.py)
+                from tts_tpu.utils.aot import AotJit
+                fn = self._vocoder_jit[name] = AotJit(
+                    build(), f"vocoder_{name}")
             return fn
 
         from tts_tpu.models.vocoder.wavernn import WaveRNN
