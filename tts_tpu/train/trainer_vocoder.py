@@ -99,7 +99,11 @@ class VocoderTrainer:
                 disc_takes_cond=self.disc_takes_cond,
                 train_disc=train_disc,
                 gen_loss_kwargs=self.gen_loss_kwargs,
-                disc_loss_kwargs=self.disc_loss_kwargs)
+                disc_loss_kwargs=self.disc_loss_kwargs,
+                # config "mixed_precision" ≙ the reference's apex-AMP flag;
+                # bf16 G/D forwards with f32 masters — measured 111.5 ->
+                # 77.8 ms/step on the chip (CLAUDE.md GAN mixed precision)
+                mixed_precision=self.c.get("mixed_precision", False))
         return self._steps[train_disc]
 
     def train_epoch(self) -> Dict[str, float]:
