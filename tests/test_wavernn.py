@@ -171,3 +171,100 @@ class TestWaveRNNConvergence:
         assert gbin == tbin, (gbin, tbin)
         corr = np.corrcoef(gen, target)[0, 1]
         assert corr > 0.8, corr
+
+
+class TestMoldMode:
+    def _model(self):
+        return WaveRNN(bits=8, rnn_dims=32, fc_dims=32, feat_dims=20,
+                       compute_dims=16, res_out_dims=16, res_blocks=1,
+                       pad=PAD, upsample_factors=(2, 2), mode="mold",
+                       nr_mix=4)
+
+    def test_forward_shapes_and_loss(self):
+        from tts_tpu.models.vocoder.wavernn import \
+            discretized_mix_logistic_loss
+
+        rng = jax.random.PRNGKey(0)
+        model = self._model()
+        hop = 4
+        frames = 6
+        mel = jax.random.normal(rng, (2, frames + 2 * PAD, 20))
+        wav = 0.5 * jnp.sin(jnp.linspace(0, 30, frames * hop))[None].repeat(2, 0)
+        x_prev = jnp.pad(wav[:, :-1], ((0, 0), (1, 0)))
+        v = model.init(rng, x_prev, mel)
+        params, _ = model.apply(v, x_prev, mel, train=True,
+                                mutable=["batch_stats"])
+        assert params.shape == (2, frames * hop, 3 * 4)
+        loss = discretized_mix_logistic_loss(params, wav)
+        assert np.isfinite(float(loss))
+
+    def test_mold_loss_gradients_train(self):
+        from tts_tpu.models.vocoder.wavernn import \
+            discretized_mix_logistic_loss
+
+        rng = jax.random.PRNGKey(0)
+        model = self._model()
+        hop, frames = 4, 6
+        mel = jax.random.normal(rng, (1, frames + 2 * PAD, 20)) * 0.3
+        wav = 0.4 * jnp.sin(jnp.linspace(0, 20, frames * hop))[None]
+        x_prev = jnp.pad(wav[:, :-1], ((0, 0), (1, 0)))
+        v = model.init(rng, x_prev, mel)
+        params, bs = v["params"], v["batch_stats"]
+        tx = optax.adam(2e-3)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, bs, opt):
+            def loss_fn(p):
+                out, mut = model.apply({"params": p, "batch_stats": bs},
+                                       x_prev, mel, train=True,
+                                       mutable=["batch_stats"])
+                return discretized_mix_logistic_loss(out, wav), \
+                    mut["batch_stats"]
+            (loss, bs2), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt = tx.update(grads, opt, params)
+            return optax.apply_updates(params, updates), bs2, opt, loss
+
+        first = None
+        for _ in range(40):
+            params, bs, opt, loss = step(params, bs, opt)
+            if first is None:
+                first = float(loss)
+        assert float(loss) < first, (first, float(loss))
+        assert np.isfinite(float(loss))
+
+    def test_generate_range_and_shapes(self):
+        rng = jax.random.PRNGKey(0)
+        model = self._model()
+        mel = jax.random.normal(rng, (2, 6 + 2 * PAD, 20))
+        v = model.init(rng, jnp.zeros((2, 2 * 4)), mel[:, :2 + 2 * PAD])
+        wav = model.apply(v, mel, jax.random.PRNGKey(1),
+                          method=model.generate)
+        assert wav.shape == (2, 6 * 4)
+        assert np.all(np.abs(np.asarray(wav)) <= 1.0)
+
+    def test_mol_sampler_concentrates_on_selected_mean(self):
+        """Crafted mixture params: one dominant component with tiny scale
+        -> samples land on its mean."""
+        from tts_tpu.models.vocoder.wavernn import \
+            sample_from_discretized_mix_logistic
+
+        B, nr_mix = 512, 4
+        y_hat = np.zeros((B, 3 * nr_mix), np.float32)
+        y_hat[:, 0] = 20.0                 # logit: component 0 dominates
+        y_hat[:, nr_mix + 0] = 0.5         # its mean
+        y_hat[:, 2 * nr_mix:] = -8.0       # tiny scales everywhere
+        x = sample_from_discretized_mix_logistic(
+            jnp.asarray(y_hat), jax.random.PRNGKey(0))
+        x = np.asarray(x)
+        assert np.abs(x - 0.5).max() < 0.02, np.abs(x - 0.5).max()
+
+    def test_registry_mode(self):
+        from tts_tpu.models.vocoder.registry import setup_generator
+
+        gen = setup_generator({
+            "generator_model": "wavernn", "mode": "mold",
+            "generator_model_params": {"nr_mix": 4},
+            "audio": {"num_mels": 20}})
+        assert gen.mode == "mold" and gen.nr_mix == 4

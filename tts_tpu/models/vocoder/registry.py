@@ -49,7 +49,9 @@ def setup_generator(c: Dict[str, Any]):
             res_blocks=params.get("res_blocks", 10),
             pad=params.get("pad", 2),
             upsample_factors=tuple(params.get("upsample_factors", (4, 8, 8))),
-            mulaw=params.get("mulaw", True))
+            mulaw=params.get("mulaw", True),
+            mode=c.get("mode", params.get("mode", "bits")),
+            nr_mix=params.get("nr_mix", 10))
     raise KeyError(f"unknown generator model: {name}")
 
 
