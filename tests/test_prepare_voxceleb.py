@@ -98,3 +98,16 @@ def test_processor_offline_with_extracted_tree(tmp_path):
 def test_processor_rejects_unknown_subset(tmp_path):
     with pytest.raises(ValueError):
         processor(str(tmp_path), "vox9_nope")
+
+
+def test_resumed_run_replays_cached_speaker_ids(tmp_path):
+    """processor() with a cached csv must still populate the shared
+    speaker-id dict so a LATER subset keeps non-colliding dense ids."""
+    _fixture_tree(str(tmp_path))
+    ids = {}
+    processor(str(tmp_path), "vox1_test_wav", speaker_id_dict=ids)
+    assert ids == {"id10001": 0, "id10002": 1}
+    # fresh dict, cached csv: the replay path
+    ids2 = {}
+    processor(str(tmp_path), "vox1_test_wav", speaker_id_dict=ids2)
+    assert ids2 == ids

@@ -221,3 +221,16 @@ def test_wavernn_port_shapes_match_init():
         == jax.tree_util.tree_structure(port_shapes)
     assert jax.tree_util.tree_leaves(ref_shapes) \
         == jax.tree_util.tree_leaves(port_shapes)
+
+
+def test_port_rejects_truncating_res_blocks():
+    """A checkpoint with MORE res blocks than requested must raise, not
+    silently truncate into a wrong-but-loading tree."""
+    from tts_tpu.compat.torch_port import port_wavernn
+
+    torch.manual_seed(0)
+    sd = {k: v.detach().numpy()
+          for k, v in _TorchWaveRNN().state_dict().items()}
+    with pytest.raises(ValueError, match="res_blocks"):
+        port_wavernn(sd, res_blocks=RES_BLOCKS - 1,
+                     upsample_factors=FACTORS)

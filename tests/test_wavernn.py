@@ -268,3 +268,14 @@ class TestMoldMode:
             "generator_model_params": {"nr_mix": 4},
             "audio": {"num_mels": 20}})
         assert gen.mode == "mold" and gen.nr_mix == 4
+
+
+def test_registry_integer_mode_means_bits():
+    """Reference configs overload "mode": an INT selects bits mode with
+    that many bits (fatchord 2**mode classes)."""
+    from tts_tpu.models.vocoder.registry import setup_generator
+
+    gen = setup_generator({
+        "generator_model": "wavernn", "mode": 9,
+        "generator_model_params": {}, "audio": {"num_mels": 20}})
+    assert gen.mode == "bits" and gen.bits == 9

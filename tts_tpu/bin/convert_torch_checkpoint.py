@@ -63,11 +63,14 @@ def convert(model_type: str, torch_checkpoint: str, out_dir: str,
     elif model_type == "speaker_encoder":
         params = torch_port.port_speaker_encoder(sd)
     elif model_type == "wavernn":
-        factors = (4, 8, 8)
+        factors, res_blocks = (4, 8, 8), 10
         if cfg is not None:
-            factors = tuple(cfg.get("upsample_factors", factors))
+            mp = cfg.get("wavernn_model_params", cfg)
+            factors = tuple(mp.get("upsample_factors",
+                                   cfg.get("upsample_factors", factors)))
+            res_blocks = int(mp.get("res_blocks", res_blocks))
         params, batch_stats = torch_port.port_wavernn(
-            sd, upsample_factors=factors)
+            sd, res_blocks=res_blocks, upsample_factors=factors)
     elif model_type == "pwgan":
         from tts_tpu.models.vocoder.pwgan import ParallelWaveganGenerator
         model = ParallelWaveganGenerator()

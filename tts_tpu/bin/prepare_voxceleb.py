@@ -177,6 +177,13 @@ def processor(directory: str, subset: str, user: str = "", password: str = "",
         raise ValueError(f"{subset} is not in voxceleb")
     subset_csv = os.path.join(directory, subset + ".csv")
     if not force_process and os.path.exists(subset_csv):
+        # replay the cached csv's speaker ids into the shared dict so a
+        # LATER subset in a resumed run keeps dense non-colliding ids
+        if speaker_id_dict is not None:
+            with open(subset_csv, newline="") as f:
+                for row in csv.DictReader(f, delimiter="\t"):
+                    speaker_id_dict.setdefault(row["speaker_name"],
+                                               int(row["speaker_id"]))
         return subset_csv
     if not os.path.isdir(os.path.join(directory, subset)):
         parts = download_parts(directory, SUBSETS[subset], user, password)

@@ -655,6 +655,14 @@ def port_wavernn(state_dict: Dict[str, np.ndarray],
     rp["conv_out"] = {
         "kernel": _conv(sd["upsample.resnet.conv_out.weight"]),
         "bias": sd["upsample.resnet.conv_out.bias"].copy()}
+    # a checkpoint trained with MORE res blocks than requested would
+    # otherwise be silently truncated into a wrong-but-loading tree
+    extra = [k for k in sd
+             if k.startswith(f"upsample.resnet.layers.{res_blocks}.")]
+    if extra:
+        raise ValueError(
+            f"state dict has res blocks beyond res_blocks={res_blocks} "
+            f"(e.g. {extra[0]}); pass the checkpoint's true res_blocks")
 
     up: Dict[str, Any] = {"resnet": rp}
     for i, f in enumerate(upsample_factors):

@@ -37,10 +37,18 @@ def setup_generator(c: Dict[str, Any]):
             upsample_factors=tuple(params.get("upsample_factors", (4, 4, 4, 4))))
     if name == "wavernn":
         # native equivalent of the reference's external-WaveRNN serving
-        # path (server/synthesizer.py:93-125 + its default arch values)
+        # path (server/synthesizer.py:93-125 + its default arch values).
+        # The reference's config "mode" field is overloaded: an INT means
+        # bits mode with that many bits (fatchord: 2**mode classes), the
+        # string 'mold' selects the mixture-of-logistics head — accept
+        # both forms.
         from tts_tpu.models.vocoder.wavernn import WaveRNN
+        mode = c.get("mode", params.get("mode", "bits"))
+        bits = params.get("bits", 10)
+        if isinstance(mode, int):
+            bits, mode = mode, "bits"
         return WaveRNN(
-            bits=params.get("bits", 10),
+            bits=bits,
             rnn_dims=params.get("rnn_dims", 512),
             fc_dims=params.get("fc_dims", 512),
             feat_dims=in_features,
@@ -50,7 +58,7 @@ def setup_generator(c: Dict[str, Any]):
             pad=params.get("pad", 2),
             upsample_factors=tuple(params.get("upsample_factors", (4, 8, 8))),
             mulaw=params.get("mulaw", True),
-            mode=c.get("mode", params.get("mode", "bits")),
+            mode=mode,
             nr_mix=params.get("nr_mix", 10))
     raise KeyError(f"unknown generator model: {name}")
 

@@ -148,19 +148,16 @@ def main(argv=None):
 
     synth = Synthesizer(args.tts_checkpoint, args.tts_config,
                         args.vocoder_checkpoint, args.vocoder_config)
+    # --exit-after-prewarm / --cache-seed-out only make sense after a
+    # prewarm; imply it so a packaging job can't silently fall through
+    # into serve_forever()
+    if args.exit_after_prewarm or args.cache_seed_out:
+        args.prewarm = True
     if args.prewarm:
         synth.prewarm()
         if args.cache_seed_out:
-            import shutil
-            from tts_tpu.utils.jax_cache import _DEFAULT_DIR
-            cache_dir = os.environ.get("TTS_TPU_COMPILE_CACHE", _DEFAULT_DIR)
-            os.makedirs(args.cache_seed_out, exist_ok=True)
-            n = 0
-            for name in os.listdir(cache_dir):
-                src = os.path.join(cache_dir, name)
-                if os.path.isfile(src):
-                    shutil.copy2(src, os.path.join(args.cache_seed_out, name))
-                    n += 1
+            from tts_tpu.utils.jax_cache import export_cache
+            n = export_cache(args.cache_seed_out)
             print(f" > Cache seed: {n} entries -> {args.cache_seed_out}",
                   flush=True)
         if args.exit_after_prewarm:

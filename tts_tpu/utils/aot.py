@@ -46,6 +46,10 @@ def _tree_sig(tree) -> str:
     return "|".join(parts)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _backend_sig() -> str:
     from jax._src import xla_bridge
     from jax._src.lib import version_str
@@ -91,6 +95,9 @@ class AotJit:
     def __call__(self, *args):
         if not self.enable:
             return self._jitted(*args)
+        # per-call cost is one O(leaves) shape/dtype walk (~us even for
+        # large param trees; the backend sig is lru-cached) — negligible
+        # next to the ms-scale executions this wraps
         key = _key(self.name, args)
         compiled = self._compiled.get(key)
         if compiled is None:

@@ -34,6 +34,24 @@ def enable_persistent_cache(cache_dir: str = _DEFAULT_DIR,
                       min_compile_secs)
 
 
+def export_cache(dst: str, cache_dir: str = None) -> int:
+    """Copy the persistent cache's entries into ``dst`` (a seed artifact
+    for packaging — the inverse of _maybe_seed). Returns the entry count."""
+    import shutil
+
+    cache_dir = cache_dir or os.environ.get("TTS_TPU_COMPILE_CACHE",
+                                            _DEFAULT_DIR)
+    os.makedirs(dst, exist_ok=True)
+    n = 0
+    if os.path.isdir(cache_dir):
+        for name in os.listdir(cache_dir):
+            src = os.path.join(cache_dir, name)
+            if os.path.isfile(src):
+                shutil.copy2(src, os.path.join(dst, name))
+                n += 1
+    return n
+
+
 def _seed_dirs():
     cands = []
     env = os.environ.get("TTS_TPU_CACHE_SEED")
