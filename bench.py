@@ -214,7 +214,7 @@ def main():
     # noisy tunnel + chip; we take `reps` independent timed loops and report
     # the MEDIAN, with the spread (max-min over reps, as % of median) in the
     # JSON line so run-to-run drift questions are answerable. Measured
-    # spread on this machine is ~1-3% (CLAUDE.md).
+    # spread on this machine is ~3-12% (CLAUDE.md).
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     times = []

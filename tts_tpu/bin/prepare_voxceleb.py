@@ -36,7 +36,7 @@ import subprocess
 import zipfile
 from typing import Dict, List, Optional, Sequence, Tuple
 
-_BASE = "http://www.robots.ox.ac.uk/~vgg/data/voxceleb/vox1a"
+_BASE = "https://www.robots.ox.ac.uk/~vgg/data/voxceleb/vox1a"
 
 SUBSETS: Dict[str, List[str]] = {
     "vox1_dev_wav": [f"{_BASE}/vox1_dev_wav_part{p}" for p in "aa ab ac ad".split()],

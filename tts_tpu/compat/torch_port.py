@@ -664,6 +664,17 @@ def port_wavernn(state_dict: Dict[str, np.ndarray],
             f"state dict has res blocks beyond res_blocks={res_blocks} "
             f"(e.g. {extra[0]}); pass the checkpoint's true res_blocks")
 
+    # mirror the res-blocks guard for the upsample tower: a checkpoint with
+    # MORE stages than upsample_factors would be silently truncated (and when
+    # the factor products coincide, e.g. (2,4,4,8) vs (4,8,8) both = 256, the
+    # Synthesizer hop check can't catch it either)
+    extra_up = f"upsample.up_layers.{2 * len(upsample_factors) + 1}.weight"
+    if extra_up in sd:
+        raise ValueError(
+            f"state dict has upsample stages beyond upsample_factors="
+            f"{tuple(upsample_factors)} (found {extra_up}); pass the "
+            "checkpoint's true upsample_factors")
+
     up: Dict[str, Any] = {"resnet": rp}
     for i, f in enumerate(upsample_factors):
         # up_layers interleaves Stretch2d (no params) with Conv2d(1,1,(1,k)):

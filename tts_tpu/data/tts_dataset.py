@@ -47,6 +47,7 @@ class TTSDataset:
         shape_pad: int = 32,
         tp=None,
         verbose: bool = False,
+        cache_features: bool = False,
     ):
         self.ap = ap
         self.items = [list(it) for it in items]
@@ -65,6 +66,12 @@ class TTSDataset:
         self.shape_pad = shape_pad
         self.tp = tp
         self.verbose = verbose
+        # in-memory per-item feature memo (mel / linear spectrograms, keyed by
+        # wav path): the reference recomputes STFTs in the loader every epoch
+        # (TTSDataset.py:187-288); for small-corpus overfit runs that host
+        # cost dominates the TPU step, so epoch 2+ reuses epoch 1's features.
+        self.cache_features = cache_features
+        self._feat_cache: Dict[str, Dict[str, np.ndarray]] = {}
         if phoneme_cache_path:
             os.makedirs(phoneme_cache_path, exist_ok=True)
         self.sort_items()
@@ -144,6 +151,14 @@ class TTSDataset:
             "speaker_name": speaker_name,
         }
 
+    def _feature(self, sample: dict, kind: str, fn) -> np.ndarray:
+        if not self.cache_features:
+            return fn(sample["wav"])
+        memo = self._feat_cache.setdefault(sample["item_idx"], {})
+        if kind not in memo:
+            memo[kind] = fn(sample["wav"])
+        return memo[kind]
+
     # -- collate -----------------------------------------------------------
 
     def collate(self, samples: List[dict]) -> Dict[str, np.ndarray]:
@@ -161,7 +176,8 @@ class TTSDataset:
         text_lens = np.array([len(s["text"]) for s in samples], dtype=np.int32)
         T_text = _round_up(int(text_lens.max()), self.shape_pad)
 
-        mels = [self.ap.melspectrogram(s["wav"]) for s in samples]
+        mels = [self._feature(s, "mel", self.ap.melspectrogram)
+                for s in samples]
         mel_lens = np.array([m.shape[0] for m in mels], dtype=np.int32)
         T_mel = _round_up(_round_up(int(mel_lens.max()), self.shape_pad), self.r)
 
@@ -189,7 +205,8 @@ class TTSDataset:
         }
 
         if self.compute_linear_spec:
-            linears = [self.ap.spectrogram(s["wav"]) for s in samples]
+            linears = [self._feature(s, "linear", self.ap.spectrogram)
+                       for s in samples]
             linear = np.zeros((B, T_mel, linears[0].shape[1]), dtype=np.float32)
             for i, sp in enumerate(linears):
                 linear[i, : sp.shape[0]] = sp

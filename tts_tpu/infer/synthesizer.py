@@ -51,6 +51,11 @@ class Synthesizer:
             num_symbols(self.tts_config.get("use_phonemes", False)),
             self.tts_config.get("num_speakers", 1), self.tts_config)
         ckpt = load_checkpoint(tts_checkpoint)
+        # honor the checkpoint's reduction factor: a gradual-training run
+        # stopped mid-schedule serves at its trained r, not the config's
+        ckpt_r = (ckpt.get("meta") or {}).get("r")
+        if ckpt_r and hasattr(self.model, "r") and self.model.r != ckpt_r:
+            self.model = self.model.clone(r=ckpt_r)
         self.variables = {"params": ckpt["params"]}
         if ckpt.get("batch_stats"):
             self.variables["batch_stats"] = ckpt["batch_stats"]

@@ -96,6 +96,13 @@ class ActNorm(nn.Module):
             mean_var.value = init_logs
             bias_var = self.variable("ddi", "bias", lambda: init_bias)
             bias_var.value = init_bias
+            # Self-initialize IN-PASS (≙ reference ActNorm.forward: initialize
+            # then apply, normalization.py:60-66): downstream ActNorms must see
+            # THIS layer already normalized, or their collected stats are fit
+            # to the unnormalized cascade — per-channel stds != 1 then compound
+            # across the 12 flows (z blew up ~5000x on real LJSpeech mels;
+            # sine fixtures masked it).
+            logs, bias = init_logs, init_bias
 
         lengths = x_mask.sum(axis=(1, 2)).astype(jnp.float32)
         if not reverse:
@@ -104,6 +111,35 @@ class ActNorm(nn.Module):
             return z, logdet
         z = (x - bias) * jnp.exp(-logs) * x_mask
         return z, None
+
+
+def _closed_form_inv(w: Array) -> Array:
+    """LAPACK-free inverse for tiny (n<=5) matrices via cofactor/adjugate
+    expansion: plain arithmetic HLO, so the inverse flow stages through
+    jax2tf -> SavedModel/TFLite, whose host runtime has no lapack FFI handler
+    (jnp.linalg.inv failed there with 'No FFI handler registered for
+    lapack_sgetrf_ffi'). Exact enough for the near-orthogonal 4x4 invconv
+    weights; falls back to jnp.linalg.inv for larger n."""
+    n = w.shape[0]
+    if n > 5:
+        return jnp.linalg.inv(w)
+
+    def minor(m, i, j):
+        m = jnp.delete(m, i, axis=0, assume_unique_indices=True)
+        return jnp.delete(m, j, axis=1, assume_unique_indices=True)
+
+    def det(m):
+        k = m.shape[0]
+        if k == 1:
+            return m[0, 0]
+        return sum(((-1.0) ** j) * m[0, j] * det(minor(m, 0, j))
+                   for j in range(k))
+
+    cof = jnp.stack([
+        jnp.stack([((-1.0) ** (i + j)) * det(minor(w, i, j))
+                   for j in range(n)])
+        for i in range(n)])
+    return cof.T / det(w)
 
 
 class InvConvNear(nn.Module):
@@ -141,7 +177,7 @@ class InvConvNear(nn.Module):
         xg = xg.reshape(B, T, self.n_split, C // self.n_split)
 
         if reverse:
-            w = jnp.linalg.inv(weight.astype(jnp.float32)).astype(x.dtype)
+            w = _closed_form_inv(weight.astype(jnp.float32)).astype(x.dtype)
             logdet = None
         else:
             w = weight

@@ -180,10 +180,16 @@ class GlowTTS(nn.Module):
         y_mean = jnp.einsum("bty,btc->byc", attn, o_mean)
         y_log_scale = jnp.einsum("bty,btc->byc", attn, o_log_scale)
 
-        if rng is None:
-            rng = self.make_rng("noise")
-        z = (y_mean + jnp.exp(y_log_scale) * noise_scale
-             * jax.random.normal(rng, y_mean.shape)) * y_mask
+        if noise_scale:
+            if rng is None:
+                rng = self.make_rng("noise")
+            z = (y_mean + jnp.exp(y_log_scale) * noise_scale
+                 * jax.random.normal(rng, y_mean.shape)) * y_mask
+        else:
+            # noise_scale == 0 is static: skip RNG entirely — deterministic
+            # serving needs no noise rng, and the TFLite converter cannot
+            # legalize the threefry bit ops this would otherwise stage
+            z = y_mean * y_mask
         mel, _, _ = self.decoder(z, y_mask, g=g, reverse=True, train=False)
         return {
             "model_outputs": mel,

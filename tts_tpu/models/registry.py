@@ -9,10 +9,18 @@ from typing import Any, Dict
 def setup_model(num_chars: int, num_speakers: int, c: Dict[str, Any],
                 speaker_embedding_dim: int = 0):
     name = c["model"].lower()
+    # r_init must cover the LARGEST r in the gradual-training schedule: the
+    # decoder heads are sized by r_init, so a checkpoint trained with
+    # gradual r (7 -> 2) restores only into a model built the same way —
+    # eval/serving rebuilds from config alone hit a ScopeParamShapeError
+    # otherwise (caught by the round-5 real-LJSpeech gradual run)
+    gradual = c.get("gradual_training") or []
+    r_init = max([c.get("r", 7)] + [e[1] for e in gradual])
     common = dict(
         num_chars=num_chars,
         num_speakers=num_speakers,
         r=c.get("r", 7),
+        r_init=r_init,
         prenet_type=c.get("prenet_type", "original"),
         prenet_dropout=c.get("prenet_dropout", True),
         attn_type=c.get("attention_type", "original"),
@@ -40,6 +48,11 @@ def setup_model(num_chars: int, num_speakers: int, c: Dict[str, Any],
         gst = c.get("gst", {}) or {}
         return Tacotron2(
             n_mels=audio.get("num_mels", 80),
+            # size overrides (defaults = the reference's hard-coded sizes,
+            # generic_utils.py:105-133); lets configs/tests scale the model
+            encoder_dim=c.get("encoder_dim", 512),
+            embedding_dim=c.get("embedding_dim", 512),
+            attn_dim=c.get("attn_dim", 128),
             attn_norm=c.get("attention_norm", "softmax"),
             bidirectional_decoder=c.get("bidirectional_decoder", False),
             double_decoder_consistency=c.get("double_decoder_consistency", False),

@@ -80,7 +80,9 @@ def make_dp_train_step(
                 from tts_tpu.train.state import _cast_floats
                 p = _cast_floats(params, jnp.bfloat16)
                 b = dict(batch, mel=batch["mel"].astype(jnp.bfloat16))
-            out, mutated = state.apply_fn(
+            # model.apply, not state.apply_fn — the trainer re-clones the
+            # model per reduction factor (see train/state.py make_train_step)
+            out, mutated = model.apply(
                 {"params": p, "batch_stats": state.batch_stats},
                 b["text"], b["text_lengths"],
                 b["mel"], b["mel_lengths"],

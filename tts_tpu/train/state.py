@@ -86,7 +86,12 @@ def make_train_step(model, loss_kwargs: Optional[Dict] = None,
                 p = _cast_floats(params, jnp.bfloat16)
                 b = dict(batch,
                          mel=batch["mel"].astype(jnp.bfloat16))
-            out, mutated = state.apply_fn(
+            # NOT state.apply_fn: the trainer re-clones the model per
+            # reduction factor (gradual training) while the TrainState keeps
+            # the config-r apply_fn — using it here applied the WRONG r
+            # whenever config r != the schedule's first r (caught by the
+            # real-LJSpeech gradual run, round 5)
+            out, mutated = model.apply(
                 {"params": p, "batch_stats": state.batch_stats},
                 b["text"], b["text_lengths"],
                 b["mel"], b["mel_lengths"],
@@ -113,7 +118,8 @@ def make_eval_step(model, loss_kwargs: Optional[Dict] = None,
     loss_kwargs.setdefault("r", model.r)
 
     def step(state: TrainState, batch: Dict, rng) -> Dict:
-        out = state.apply_fn(
+        # model.apply, not state.apply_fn — see make_train_step
+        out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["text"], batch["text_lengths"],
             batch["mel"], batch["mel_lengths"],

@@ -111,11 +111,12 @@ class SpeakerEncoderTrainer:
                 self.save_checkpoint()
         return keep.avg_values
 
-    def compute_embeddings(self, mels: jnp.ndarray) -> jnp.ndarray:
+    def compute_embeddings(self, mels: jnp.ndarray, **kwargs) -> jnp.ndarray:
         """d-vector extraction for external-embedding TTS conditioning
-        (≙ the GE2E extraction notebooks)."""
+        (≙ the GE2E extraction notebooks). kwargs forward to
+        SpeakerEncoder.compute_embedding (num_frames, overlap)."""
         return self.model.apply({"params": self.params["enc"]}, mels,
-                                method=self.model.compute_embedding)
+                                method=self.model.compute_embedding, **kwargs)
 
     def save_checkpoint(self) -> str:
         return ckpt_io.save_checkpoint(

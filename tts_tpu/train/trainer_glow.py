@@ -73,8 +73,14 @@ class GlowTTSTrainer:
         self.params = None
         self.opt_state = None
         self._step_fn = None
+        self._datasets: Dict[Any, TTSDataset] = {}
 
     def _dataset(self, is_eval: bool) -> TTSDataset:
+        if is_eval not in self._datasets:
+            self._datasets[is_eval] = self._build_dataset(is_eval)
+        return self._datasets[is_eval]
+
+    def _build_dataset(self, is_eval: bool) -> TTSDataset:
         c = self.c
         return TTSDataset(
             self.ap, self.meta_eval if is_eval else self.meta_train,
@@ -87,7 +93,8 @@ class GlowTTSTrainer:
             speaker_id_mapping=self.speaker_mapping,
             min_seq_len=0 if is_eval else c.get("min_seq_len", 0),
             max_seq_len=float("inf") if is_eval
-            else c.get("max_seq_len", float("inf")))
+            else c.get("max_seq_len", float("inf")),
+            cache_features=c.get("cache_features", False))
 
     def _init_state(self, batch: Dict) -> None:
         if self.params is not None:
@@ -150,11 +157,11 @@ class GlowTTSTrainer:
             self.rng, step_rng = jax.random.split(self.rng)
             self.params, self.opt_state, losses = step_fn(
                 self.params, self.opt_state, jb, step_rng)
-            keep.update_values({f"avg_{k}": float(v)
-                                for k, v in losses.items()})
+            from tts_tpu.train.trainer_tts import _fetch_scalars
+            losses = _fetch_scalars(losses)  # one tunnel fetch, not one per loss
+            keep.update_values({f"avg_{k}": v for k, v in losses.items()})
             self.global_step += 1
-            self.tb.tb_train_iter_stats(
-                self.global_step, {k: float(v) for k, v in losses.items()})
+            self.tb.tb_train_iter_stats(self.global_step, losses)
             if self.global_step % c.get("save_step", 10000) == 0:
                 self.save_checkpoint()
         self.console.print_train_epoch_end(self.global_step, self.epoch, 0.0,

@@ -121,6 +121,7 @@ class TTSTrainer:
         self.epoch = 0
         self.best_loss = float("inf")
         self.state = None
+        self._datasets: Dict[Any, TTSDataset] = {}
         self._steps: Dict[int, Any] = {}
         self._eval_step_fn = None
         self.rng = jax.random.PRNGKey(config.get("seed", 54321))
@@ -128,6 +129,14 @@ class TTSTrainer:
     # -- dataset ----------------------------------------------------------
 
     def _dataset(self, is_eval: bool, r: int) -> TTSDataset:
+        # memoized per (split, r): re-creating the dataset every epoch would
+        # drop the in-memory feature cache and re-sort/re-read metadata
+        key = (is_eval, r)
+        if key not in self._datasets:
+            self._datasets[key] = self._build_dataset(is_eval, r)
+        return self._datasets[key]
+
+    def _build_dataset(self, is_eval: bool, r: int) -> TTSDataset:
         c = self.c
         return TTSDataset(
             self.ap,
@@ -144,6 +153,7 @@ class TTSTrainer:
             speaker_id_mapping=self.speaker_mapping,
             speaker_embedding_mapping=self.speaker_embedding_mapping,
             batch_group_size=0 if is_eval else c.get("batch_group_size", 0),
+            cache_features=c.get("cache_features", False),
             tp=self.tp)
 
     # -- state / steps -----------------------------------------------------
@@ -248,7 +258,7 @@ class TTSTrainer:
                 jb = shard_batch(jb, self.mesh)
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, losses = step_fn(self.state, jb, step_rng)
-            losses = {k: float(v) for k, v in losses.items()}
+            losses = _fetch_scalars(losses)
             step_time = timer.lap()
             losses["step_time"] = step_time
             losses["loader_time"] = loader_time
@@ -279,7 +289,7 @@ class TTSTrainer:
             self.rng, step_rng = jax.random.split(self.rng)
             losses = step_fn(self.state, jb, step_rng)
             keep.update_values(
-                {f"avg_{k}": float(v) for k, v in losses.items()})
+                {f"avg_{k}": v for k, v in _fetch_scalars(losses).items()})
         self.console.print_epoch_end(self.epoch, keep.avg_values)
         self.tb.tb_eval_stats(self.global_step, keep.avg_values)
         return keep.avg_values
@@ -350,6 +360,16 @@ class TTSTrainer:
             batch_stats=self.state.batch_stats,
             step=self.global_step, epoch=self.epoch, r=self.r,
             config=self.c)
+
+
+def _fetch_scalars(losses: Dict) -> Dict[str, float]:
+    """Fetch a dict of device scalars as ONE stacked transfer: per-scalar
+    float() costs a full ~25 ms tunnel round trip EACH (8 losses ≈ 0.2 s of
+    the 0.4 s real-LJSpeech step), and every extra fetch is another shot at
+    the rare axon stall (one hung a 1200-epoch run at epoch 1197)."""
+    keys = sorted(losses)
+    vals = np.asarray(jnp.stack([losses[k] for k in keys]))
+    return {k: float(v) for k, v in zip(keys, vals)}
 
 
 def _to_jnp(batch: Dict) -> Dict:

@@ -121,11 +121,11 @@ class VocoderTrainer:
             self.rng, step_rng = jax.random.split(self.rng)
             self.state_G, self.state_D, losses = step_fn(
                 self.state_G, self.state_D, jb["G"], jb["D"], step_rng)
-            keep.update_values({f"avg_{k}": float(v)
-                                for k, v in losses.items()})
+            from tts_tpu.train.trainer_tts import _fetch_scalars
+            losses = _fetch_scalars(losses)  # one tunnel fetch, not one per loss
+            keep.update_values({f"avg_{k}": v for k, v in losses.items()})
             self.global_step += 1
-            self.tb.tb_train_iter_stats(
-                self.global_step, {k: float(v) for k, v in losses.items()})
+            self.tb.tb_train_iter_stats(self.global_step, losses)
             if self.global_step % c.get("save_step", 10000) == 0:
                 self.save_checkpoint()
         ds.shuffle_mapping()  # re-pair G/D items each epoch

@@ -51,10 +51,12 @@ import functools
 
 @functools.lru_cache(maxsize=1)
 def _backend_sig() -> str:
-    from jax._src import xla_bridge
-    from jax._src.lib import version_str
-    b = xla_bridge.get_backend()
-    return f"{version_str}|{b.platform}|{b.platform_version}"
+    # public APIs only (jax._src imports broke across upgrades — ADVICE r4)
+    import jax
+    dev = jax.devices()[0]
+    platform_version = getattr(getattr(dev, "client", None),
+                               "platform_version", "unknown")
+    return f"{jax.__version__}|{dev.platform}|{platform_version}"
 
 
 def _key(name: str, args) -> str:
