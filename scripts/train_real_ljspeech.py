@@ -144,6 +144,8 @@ def main(argv=None):
                         "JAX_PLATFORMS, this uses jax.config instead")
     p.add_argument("--smoke", action="store_true",
                    help="2-step tiny-subset run to validate the pipeline")
+    p.add_argument("--restore", default=None,
+                   help="checkpoint to continue from")
     args = p.parse_args(argv)
     if args.platform:
         import jax
@@ -186,6 +188,8 @@ def main(argv=None):
         json.dump(c, f, indent=1)
 
     trainer = Trainer(c, out_dir)
+    if args.restore:
+        trainer.restore(args.restore)
     trainer.fit()
 
     from tts_tpu.train.checkpoint import latest_checkpoint

@@ -142,12 +142,15 @@ class GlowTTSTrainer:
         return self._step_fn
 
     def train_epoch(self) -> Dict[str, float]:
+        from tts_tpu.utils.generic import StepTimer
         c = self.c
         ds = self._dataset(is_eval=False)
         keep = KeepAverage()
         step_fn = self._step()
+        timer = StepTimer()
         for batch in ds.batches(c.get("batch_size", 32), shuffle=True,
                                 seed=self.epoch):
+            loader_time = timer.lap()
             jb = {k: jnp.asarray(v) for k, v in batch.items()
                   if k != "item_idxs"}
             self._init_state(jb)
@@ -159,6 +162,8 @@ class GlowTTSTrainer:
                 self.params, self.opt_state, jb, step_rng)
             from tts_tpu.train.trainer_tts import _fetch_scalars
             losses = _fetch_scalars(losses)  # one tunnel fetch, not one per loss
+            losses["step_time"] = timer.lap()
+            losses["loader_time"] = loader_time
             keep.update_values({f"avg_{k}": v for k, v in losses.items()})
             self.global_step += 1
             self.tb.tb_train_iter_stats(self.global_step, losses)
