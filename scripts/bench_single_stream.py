@@ -149,6 +149,46 @@ def run_server(ckpt, cfg, vckpt, vcfg):
         proc.wait()
 
 
+def run_streaming(ckpt, cfg, vckpt, vcfg):
+    """Time-to-first-audio: chunked inference_truncated streaming
+    (Synthesizer.tts_stream) vs the full-request path on the same long
+    sentence (VERDICT r4 item 8). First chunk decodes 32 decoder steps of
+    a 48-char chunk instead of the whole 124-step utterance."""
+    from tts_tpu.infer.synthesizer import Synthesizer
+    from tts_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
+    synth = Synthesizer(ckpt, cfg, vckpt, vcfg)
+    synth.tts(SENTENCE)                           # compile full path
+    list(synth.tts_stream(SENTENCE, decoder_steps=32))  # compile chunks
+
+    full_times, first_times, total_times = [], [], []
+    for _ in range(5):
+        t0 = time.time()
+        wav_full = synth.tts(SENTENCE)
+        full_times.append(time.time() - t0)
+
+        t0 = time.time()
+        first = None
+        chunks = []
+        for chunk in synth.tts_stream(SENTENCE, decoder_steps=32):
+            if first is None:
+                first = time.time() - t0
+            chunks.append(chunk)
+        total_times.append(time.time() - t0)
+        first_times.append(first)
+    audio_s = len(wav_full) / synth.ap.sample_rate
+    stream_audio = sum(len(c) for c in chunks) / synth.ap.sample_rate
+    print(f"[stream ] first audio {min(first_times)*1e3:.0f} ms "
+          f"(full request {min(full_times)*1e3:.0f} ms for {audio_s:.2f}s "
+          f"audio); streamed total {min(total_times)*1e3:.0f} ms / "
+          f"{stream_audio:.2f}s in {len(chunks)} chunks")
+    print(json.dumps({
+        "metric": "first_audio_latency_ms",
+        "streaming_ms": round(min(first_times) * 1e3, 1),
+        "full_request_ms": round(min(full_times) * 1e3, 1),
+        "chunks": len(chunks)}))
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     paths = build_models()
@@ -159,3 +199,5 @@ if __name__ == "__main__":
         run_inprocess(*paths)
     if which in ("all", "server"):
         run_server(*paths)
+    if which in ("all", "streaming"):
+        run_streaming(*paths)

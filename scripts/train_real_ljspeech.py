@@ -146,6 +146,9 @@ def main(argv=None):
                    help="2-step tiny-subset run to validate the pipeline")
     p.add_argument("--restore", default=None,
                    help="checkpoint to continue from")
+    p.add_argument("--d_taps", type=int, default=10,
+                   help="gan mode: discriminator downsample_kernel_mult "
+                        "(10 = reference 41-tap, 5 = reduced 21-tap D)")
     args = p.parse_args(argv)
     if args.platform:
         import jax
@@ -171,6 +174,10 @@ def main(argv=None):
     else:
         steps = args.steps or (2 if args.smoke else 3000)
         c = gan_config(steps, 4 if args.smoke else 16)
+        if args.d_taps != 10:
+            c["discriminator_model_params"]["downsample_kernel_mult"] = \
+                args.d_taps
+            c["run_name"] += f"_dtaps{args.d_taps}"
         from tts_tpu.train.trainer_vocoder import VocoderTrainer as Trainer
     if args.smoke and args.model == "gan":
         c["seq_len"] = 4096

@@ -236,6 +236,27 @@ class Synthesizer:
         print(f" > Prewarmed {len(todo)} text buckets + {n_mel} mel buckets "
               f"in {time.time() - t0:.1f}s", flush=True)
 
+    def tts_stream(self, text: str, speaker_id: Optional[int] = None,
+                   chunk_chars: int = 48, decoder_steps: int = 128):
+        """Generator of waveform chunks: first audio leaves after ONE text
+        chunk's decode (infer/streaming.py chunked inference_truncated),
+        instead of after the full utterance. Tacotron family only."""
+        from tts_tpu.infer.streaming import stream_mel_chunks
+        for sentence in split_into_sentences(text) or [text]:
+            for piece in stream_mel_chunks(
+                    self.model, self.variables, sentence, self.tts_config,
+                    chunk_chars=chunk_chars, decoder_steps=decoder_steps,
+                    speaker_id=speaker_id):
+                mel = piece["mel"]
+                if mel.shape[0] == 0:
+                    continue
+                if self.vocoder_model is not None:
+                    yield self._vocode(mel)
+                else:
+                    from tts_tpu.infer.synthesis import inv_spectrogram
+                    yield inv_spectrogram(mel, self.ap, self.tts_config)
+            yield np.zeros(10000, np.float32)  # inter-sentence gap
+
     def tts(self, text: str, speaker_id: Optional[int] = None) -> np.ndarray:
         """Full text -> waveform with sentence joins + RTF print
         (≙ Synthesizer.tts, synthesizer.py:135-193)."""

@@ -251,6 +251,13 @@ class MelganDiscriminator(nn.Module):
     base_channels: int = 16
     max_channels: int = 1024
     downsample_factors: Sequence[int] = (4, 4, 4, 4)
+    # downsample kernel length = df * downsample_kernel_mult + 1 (reference
+    # hard-codes 10 -> 41 taps, melgan_discriminator.py:44). The D backward
+    # is MAC-roofline-bound on the VPU (CLAUDE.md), so taps are the ONLY
+    # remaining lever: 5 -> 21 taps halves D-grad MACs (GAN-D algorithmic
+    # lever, VERDICT r4 item 7; trained comparison in
+    # scripts/train_real_ljspeech.py --model gan --d_taps).
+    downsample_kernel_mult: int = 10
     # "auto" -> "pallas_wgrad" on TPU (XLA fwd + Pallas VPU wgrad/dgrad,
     # ops/pallas/grouped_conv_grad.py): grad[D real+fake] 131.7 -> 75.2 ms
     # and the full GAN G+D step 160.7 -> 113.4 ms at B=32/seg=64 (measured
@@ -285,7 +292,7 @@ class MelganDiscriminator(nn.Module):
         for i, df in enumerate(self.downsample_factors):
             ch = min(ch * df, self.max_channels)
             groups = max(1, ch // 4)
-            ks = df * 10 + 1
+            ks = df * self.downsample_kernel_mult + 1
             g = min(groups, y.shape[-1])
             cin = y.shape[-1]
             use_pallas = (lowering == "pallas_wgrad" and cin // g == 1
@@ -319,6 +326,7 @@ class MelganMultiscaleDiscriminator(nn.Module):
     num_scales: int = 3
     pooling_kernel: int = 4
     conv_lowering: str = "auto"
+    downsample_kernel_mult: int = 10
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[List[Array], List[List[Array]]]:
@@ -329,8 +337,10 @@ class MelganMultiscaleDiscriminator(nn.Module):
                 y = nn.avg_pool(y, (self.pooling_kernel,),
                                 strides=(self.pooling_kernel // 2,),
                                 padding=[(1, 1)])
-            s, f = MelganDiscriminator(conv_lowering=self.conv_lowering,
-                                       name=f"disc_{i}")(y)
+            s, f = MelganDiscriminator(
+                conv_lowering=self.conv_lowering,
+                downsample_kernel_mult=self.downsample_kernel_mult,
+                name=f"disc_{i}")(y)
             scores.append(s)
             feats.append(f)
         return scores, feats

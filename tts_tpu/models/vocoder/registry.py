@@ -79,7 +79,8 @@ def setup_discriminator(c: Dict[str, Any]):
     if name == "melgan_multiscale_discriminator":
         from tts_tpu.models.vocoder.melgan import MelganMultiscaleDiscriminator
         return MelganMultiscaleDiscriminator(
-            num_scales=params.get("num_scales", 3))
+            num_scales=params.get("num_scales", 3),
+            downsample_kernel_mult=params.get("downsample_kernel_mult", 10))
     if name == "melgan_discriminator":
         from tts_tpu.models.vocoder.melgan import MelganDiscriminator
         return MelganDiscriminator()
