@@ -26,7 +26,11 @@ FRAMES = int(os.environ.get("WRNN_FRAMES", "40"))  # valid frames -> hop*F sampl
 
 
 def main():
-    model = WaveRNN()  # defaults == fatchord serving config, hop 256
+    # WRNN_MODE=mold benches the discretized-mixture-of-logistics head
+    # (VERDICT r4 weak item 5: 'mold' had no on-chip number)
+    mode = os.environ.get("WRNN_MODE", "bits")
+    model = WaveRNN() if mode == "bits" else WaveRNN(mode="mold")
+    print(f"mode={mode}")
     rng = jax.random.PRNGKey(0)
     pad = model.pad
     for B in (1, 8):

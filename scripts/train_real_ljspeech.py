@@ -96,7 +96,7 @@ def glow_config(steps: int, batch_size: int) -> dict:
         "enable_eos_bos_chars": False,
         "num_speakers": 1,
         "min_seq_len": 0, "max_seq_len": 10**9,
-        "cache_features": True,
+        "cache_features": True, "save_best_every": 50,
         "datasets": [{"name": "ljspeech", "path": DATA_PATH,
                       "meta_file_train": "metadata.csv"}],
     }
@@ -125,6 +125,7 @@ def gan_config(steps: int, batch_size: int = 16) -> dict:
         "mse_G_loss_weight": 2.5,
         "lr_gen": 1e-4, "lr_disc": 1e-4, "grad_clip": 10.0,
         "save_step": max(steps // 3, 1), "eval_split_size": 10,
+        "save_best_every": 200,
         "use_cache": True,
         "data_path": os.path.join(DATA_PATH, "wavs"),
     }

@@ -174,14 +174,25 @@ class GlowTTSTrainer:
         return keep.avg_values
 
     def fit(self) -> None:
+        # save_best_every: best-model checkpointing fetches the FULL param
+        # tree host-side (hundreds of leaves x ~25 ms tunnel RTT each +
+        # ~90 MB write) — doing that every epoch dominated wall time on
+        # small-corpus runs where the loss improves every epoch (measured
+        # 2026-08-21: glow real-LJSpeech epochs 0.3 s step, minutes in
+        # save_best). Default 1 keeps the reference's per-epoch behavior.
+        every = self.c.get("save_best_every", 1)
         for self.epoch in range(self.epoch, self.c["epochs"]):
             self.console.print_epoch_start(self.epoch, self.c["epochs"])
             stats = self.train_epoch()
-            self.best_loss = ckpt_io.save_best_model(
-                stats.get("avg_loss", float("inf")), self.best_loss,
-                self.output_path, params=self.params,
-                opt_state=self.opt_state, step=self.global_step,
-                epoch=self.epoch)
+            if (self.epoch + 1) % every == 0 or \
+                    self.epoch == self.c["epochs"] - 1:
+                self.best_loss = ckpt_io.save_best_model(
+                    stats.get("avg_loss", float("inf")), self.best_loss,
+                    self.output_path, params=self.params,
+                    opt_state=self.opt_state, step=self.global_step,
+                    epoch=self.epoch)
+        if self.c.get("checkpoint", True):
+            self.save_checkpoint()
 
     def save_checkpoint(self) -> str:
         return ckpt_io.save_checkpoint(

@@ -134,13 +134,19 @@ class VocoderTrainer:
         return keep.avg_values
 
     def fit(self) -> None:
+        # save_best_every: see trainer_glow.fit — per-epoch best-model
+        # writes fetch the full G param tree through the tunnel
+        every = self.c.get("save_best_every", 1)
         for self.epoch in range(self.epoch, self.c["epochs"]):
             self.console.print_epoch_start(self.epoch, self.c["epochs"])
             stats = self.train_epoch()
-            self.best_loss = ckpt_io.save_best_model(
-                stats.get("avg_G_loss", float("inf")), self.best_loss,
-                self.output_path, params=self.state_G.params,
-                step=self.global_step, epoch=self.epoch)
+            if (self.epoch + 1) % every == 0 or \
+                    self.epoch == self.c["epochs"] - 1:
+                self.best_loss = ckpt_io.save_best_model(
+                    stats.get("avg_G_loss", float("inf")), self.best_loss,
+                    self.output_path, params=self.state_G.params,
+                    step=self.global_step, epoch=self.epoch)
+        self.save_checkpoint()
 
     def save_checkpoint(self) -> str:
         """Dual G/D checkpoint (≙ vocoder/utils/io.py:21-60)."""
