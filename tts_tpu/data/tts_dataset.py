@@ -72,6 +72,7 @@ class TTSDataset:
         # cost dominates the TPU step, so epoch 2+ reuses epoch 1's features.
         self.cache_features = cache_features
         self._feat_cache: Dict[str, Dict[str, np.ndarray]] = {}
+        self._sample_cache: Dict[str, dict] = {}
         if phoneme_cache_path:
             os.makedirs(phoneme_cache_path, exist_ok=True)
         self.sort_items()
@@ -138,18 +139,25 @@ class TTSDataset:
     def __getitem__(self, idx: int) -> dict:
         item = self.items[idx]
         text, wav_file, speaker_name = item[:3]
+        if self.cache_features and wav_file in self._sample_cache:
+            return self._sample_cache[wav_file]
         wav = self.ap.load_wav(wav_file)
         ids = self.text_ids(text)
         # optional 4th column: precomputed attention-map .npy, stored
         # (mel_frames, text_len) (≙ TTSDataset.py:119-142)
         attn = np.load(item[3]) if len(item) > 3 and item[3] else None
-        return {
+        sample = {
             "text": ids,
             "wav": wav.astype(np.float32),
             "attn": attn,
             "item_idx": wav_file,
             "speaker_name": speaker_name,
         }
+        if self.cache_features:
+            # wav decode + silence trim re-ran every epoch otherwise —
+            # seconds per epoch on real-speech corpora
+            self._sample_cache[wav_file] = sample
+        return sample
 
     def _feature(self, sample: dict, kind: str, fn) -> np.ndarray:
         if not self.cache_features:

@@ -37,6 +37,17 @@ def _fetch_leaf(x):
 
 
 def _to_numpy_tree(tree):
+    # start ALL device->host copies before materializing any: per-leaf
+    # np.asarray is a serial ~25 ms tunnel round trip each — hundreds of
+    # leaves made every checkpoint/best-model save cost minutes on the axon
+    # tunnel (measured 2026-08-21, glow real-LJSpeech run); the async
+    # prefetch pipelines the transfers
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if isinstance(leaf, jax.Array) and leaf.is_fully_addressable:
+            try:
+                leaf.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                break
     return jax.tree_util.tree_map(_fetch_leaf, tree)
 
 
