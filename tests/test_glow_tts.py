@@ -100,6 +100,31 @@ class TestGlowTTSModel:
         align = np.asarray(out["alignments"])
         assert np.allclose(align[0].sum(-1), 1.0)
 
+    def test_decode_mean_reconstruction(self):
+        """decode_mean (bin/eval_model's flow-family teacher forcing) is the
+        decoder's exact inverse: pushing its mel reconstruction back through
+        the forward flow returns the MAS-aligned latent means."""
+        from tts_tpu.models.glow_tts import GlowTTS
+
+        model = _small_model()
+        b = _batch()
+        v = model.init({"params": RNG, "dropout": RNG}, b["text"],
+                       b["text_lengths"], b["mel"], b["mel_lengths"])
+        out = model.apply(v, b["text"], b["text_lengths"], b["mel"],
+                          b["mel_lengths"], train=False,
+                          rngs={"dropout": RNG})
+        mel_hat = model.apply(v, out["y_mean"], out["y_mask"],
+                              method=GlowTTS.decode_mean)
+        assert mel_hat.shape == out["z"].shape
+        assert np.isfinite(np.asarray(mel_hat)).all()
+        z_back, _, _ = model.apply(
+            v, mel_hat, out["y_mask"],
+            method=lambda m, y, mask: m.decoder(y, mask, reverse=False,
+                                                train=False))
+        want = np.asarray(out["y_mean"] * out["y_mask"])
+        np.testing.assert_allclose(np.asarray(z_back * out["y_mask"]),
+                                   want, atol=1e-4)
+
     def test_train_step_updates_params(self):
         model = _small_model()
         b = _batch()

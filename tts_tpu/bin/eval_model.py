@@ -101,11 +101,20 @@ def evaluate(config_path: str, checkpoint: str,
               if k != "item_idxs"}
         out = _teacher_forced(model, variables, jb, rng)
         mel_hat = out.get("postnet_outputs", out.get("model_outputs"))
+        if mel_hat is None and "y_mean" in out:
+            # flow model: no direct mel prediction in the forward pass —
+            # reconstruct by running the MAS-aligned latent means through
+            # the inverse flow (GlowTTS.decode_mean)
+            from tts_tpu.models.glow_tts import GlowTTS
+            mel_hat = np.asarray(model.apply(
+                variables, jnp.asarray(out["y_mean"]),
+                jnp.asarray(out["y_mask"]), method=GlowTTS.decode_mean))
         mel_ref = np.asarray(jb["mel"])
         lens = np.asarray(jb["mel_lengths"])
         for b in range(mel_ref.shape[0]):
             t = int(lens[b]) // getattr(model, "r", 1) \
                 * getattr(model, "r", 1)
+            t = min(t, mel_hat.shape[1])  # flow models floor T to num_sqz
             ref_b, hat_b = mel_ref[b, :t], mel_hat[b, :t]
             metrics["mel_l1"].append(float(np.abs(ref_b - hat_b).mean()))
             metrics["mel_max_abs_err"].append(

@@ -148,6 +148,20 @@ class GlowTTS(nn.Module):
             "y_lengths": mel_lengths_sqz,
         }
 
+    def decode_mean(self, y_mean: Array, y_mask: Array,
+                    speaker_ids: Optional[Array] = None,
+                    speaker_embeddings: Optional[Array] = None) -> Array:
+        """Inverse-flow mel reconstruction from frame-rate latent means —
+        the flow-family analogue of teacher forcing: fed `__call__`'s
+        MAS-aligned ``y_mean``/``y_mask``, the result is an alignment-true,
+        noise-free mel prediction. Used by bin/eval_model for mel L1 / MCD
+        on Glow checkpoints (the reference has no such eval for glow;
+        closest is its inference path glow_tts.py:158-185 at noise 0)."""
+        g = self._speaker_vector(speaker_ids, speaker_embeddings)
+        mel, _, _ = self.decoder(y_mean * y_mask, y_mask, g=g, reverse=True,
+                                 train=False)
+        return mel
+
     def inference(self, text: Array, text_lengths: Optional[Array] = None,
                   speaker_ids: Optional[Array] = None,
                   speaker_embeddings: Optional[Array] = None,
