@@ -169,7 +169,10 @@ def build_glow_corpus_pipeline(batch=128, t_text=64, t_mel=248):
         # 6-frames/symbol pin below (VERDICT r4 item 2); tree geometry is
         # identical to this build (verified round 5)
         from tts_tpu.train.checkpoint import load_checkpoint
-        gv = {"params": load_checkpoint(ckpt)["params"]}
+        # device_put: checkpoints restore as HOST numpy; without it every
+        # jitted call re-uploads the params through the tunnel (measured:
+        # 71 audio-s/s instead of ~15k — the CLAUDE.md serving trap)
+        gv = jax.device_put({"params": load_checkpoint(ckpt)["params"]})
     else:
         # random-init durations are degenerate (expm1 of ~0 -> 0-2 frames);
         # pin the duration head to exactly 6 frames/char — the LJSpeech
