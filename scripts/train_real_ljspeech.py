@@ -147,6 +147,11 @@ def main(argv=None):
                    help="2-step tiny-subset run to validate the pipeline")
     p.add_argument("--restore", default=None,
                    help="checkpoint to continue from")
+    p.add_argument("--forward_attn", action="store_true",
+                   help="tacotron2 mode: enable forward attention (no extra "
+                        "params — restore-compatible with a non-forward "
+                        "checkpoint; the reference's recipe for sharpening "
+                        "a soft-but-monotonic alignment)")
     p.add_argument("--d_taps", type=int, default=10,
                    help="gan mode: discriminator downsample_kernel_mult "
                         "(10 = reference 41-tap, 5 = reduced 21-tap D)")
@@ -180,6 +185,9 @@ def main(argv=None):
                 args.d_taps
             c["run_name"] += f"_dtaps{args.d_taps}"
         from tts_tpu.train.trainer_vocoder import VocoderTrainer as Trainer
+    if args.forward_attn and args.model == "tacotron2":
+        c["use_forward_attn"] = True
+        c["run_name"] += "_fa"
     if args.smoke and args.model == "gan":
         c["seq_len"] = 4096
         c["run_name"] += "_smoke"

@@ -114,7 +114,10 @@ class Synthesizer:
             # then one transfer
             self._megakernel_packed = None
             from tts_tpu.models.vocoder.melgan import MelganGenerator
-            if (isinstance(self.vocoder_model, MelganGenerator)
+            # Pallas lowers only on TPU — on a CPU backend (tests, offline
+            # artifact synthesis) serve through the plain XLA generator
+            if (jax.default_backend() != "cpu"
+                    and isinstance(self.vocoder_model, MelganGenerator)
                     and not self.vocoder_model.use_weight_norm
                     and not any(f % 2
                                 for f in self.vocoder_model.upsample_factors)):
@@ -183,8 +186,10 @@ class Synthesizer:
             fn = jitted("mega", lambda: (
                 lambda packed, m: megakernel_inference(gen, packed, m)))
             wav = fn(self._megakernel_packed, mel)
-        elif (isinstance(gen, MelganGenerator)
+        elif (jax.default_backend() != "cpu"
+                and isinstance(gen, MelganGenerator)
                 and not getattr(gen, "use_weight_norm", True)):
+            # per-stack Pallas kernels — TPU only, like the megakernel
             from tts_tpu.models.vocoder.serving import fused_inference
             fn = jitted("fused", lambda: (
                 lambda params, m: fused_inference(gen, params, m)))
