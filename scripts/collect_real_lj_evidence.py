@@ -53,6 +53,10 @@ def series(log_path: str, key: str):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--taco2", required=True, help="eval JSON for tacotron2")
+    p.add_argument("--taco2_fa", default=None,
+                   help="eval JSON for the forward-attention continuation; "
+                        "rows are appended to the tacotron2 series with a "
+                        "forward_attn marker")
     p.add_argument("--glow", required=True, help="eval JSON for glow")
     p.add_argument("--runs", default=os.path.join(REPO, "runs_real"))
     p.add_argument("--out", default=os.path.join(REPO,
@@ -63,6 +67,13 @@ def main(argv=None):
         taco2 = json.load(f)
     with open(args.glow) as f:
         glow = json.load(f)
+    if args.taco2_fa:
+        with open(args.taco2_fa) as f:
+            fa = json.load(f)
+        for row in fa["results"]:
+            row["forward_attn"] = True
+        taco2["results"].extend(fa["results"])
+        taco2["forward_attn_continuation"] = fa["run_dir"]
 
     glow["dur_loss_final"] = final_avg(
         os.path.join(args.runs, "glow_train.log"), "loss_dur")
@@ -78,15 +89,17 @@ def main(argv=None):
         "glow_tts": glow,
     }
 
-    gan_log = os.path.join(args.runs, "gan_train.log")
-    if os.path.exists(gan_log):
-        g_losses = series(gan_log, "G_loss")
-        out["gan"] = {
-            "G_loss_first": g_losses[0] if g_losses else None,
-            "G_loss_final": g_losses[-1] if g_losses else None,
-            "D_loss_final": final_avg(gan_log, "D_loss"),
-            "stft_mag_final": final_avg(gan_log, "G_stft_loss_mag"),
-        }
+    for key, name in (("gan", "gan_train.log"),
+                      ("gan_d5_reduced_taps", "gan_d5_train.log")):
+        gan_log = os.path.join(args.runs, name)
+        if os.path.exists(gan_log):
+            g_losses = series(gan_log, "G_loss")
+            out[key] = {
+                "G_loss_first": g_losses[0] if g_losses else None,
+                "G_loss_final": g_losses[-1] if g_losses else None,
+                "D_loss_final": final_avg(gan_log, "D_loss"),
+                "stft_mag_final": final_avg(gan_log, "G_stft_loss_mag"),
+            }
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)

@@ -70,13 +70,12 @@ def main(argv=None):
         step = int(re.search(r"_(\d+)\.ckpt$", ckpt).group(1))
         held = evaluate(config_path, ckpt, num_items=8)
         corpus = evaluate(corpus_cfg_path, ckpt, num_items=32)
+        keys = ("n_items", "mel_l1", "mel_max_abs_err", "mcd_db",
+                "alignment_diagonal_score", "attn_monotonicity",
+                "attn_coverage")
         row = {"step": step,
-               "heldout": {k: held[k] for k in
-                           ("n_items", "mel_l1", "mel_max_abs_err", "mcd_db",
-                            "alignment_diagonal_score")},
-               "corpus": {k: corpus[k] for k in
-                          ("n_items", "mel_l1", "mel_max_abs_err", "mcd_db",
-                           "alignment_diagonal_score")}}
+               "heldout": {k: held[k] for k in keys if k in held},
+               "corpus": {k: corpus[k] for k in keys if k in corpus}}
         results.append(row)
         print(json.dumps(row))
 

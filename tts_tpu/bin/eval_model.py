@@ -125,14 +125,26 @@ def evaluate(config_path: str, checkpoint: str,
             # score each item over its VALID decoder steps only: with real
             # (bucketless) length spreads, padded steps carry garbage
             # attention and dilute the batch-mean score (measured round 5:
-            # 0.27 batch-padded vs 0.75 valid-sliced on the same taco2
-            # checkpoint with ga_loss 4e-5)
+            # 0.27 batch-padded vs valid-sliced on the same taco2
+            # checkpoint with ga_loss 4e-5). Also record the two properties
+            # that directly witness a LEARNED alignment independent of
+            # softmax sharpness: argmax-path monotonicity and text coverage
+            # (a diffuse-but-correct attention scores low on per-step max
+            # while walking the full text monotonically).
             al = np.asarray(out["alignments"])
+            tlens = np.asarray(jb["text_lengths"])
             r_model = getattr(model, "r", 1)
             for b in range(al.shape[0]):
                 steps_valid = max(int(lens[b]) // r_model, 1)
+                a = al[b, :steps_valid, :max(int(tlens[b]), 1)]
                 metrics["alignment_score"].append(
-                    alignment_diagonal_score(al[b:b + 1, :steps_valid]))
+                    alignment_diagonal_score(a[None]))
+                arg = a.argmax(-1)
+                mono = float((np.diff(arg) >= 0).mean()) if len(arg) > 1 \
+                    else 1.0
+                metrics.setdefault("attn_monotonicity", []).append(mono)
+                metrics.setdefault("attn_coverage", []).append(
+                    float((arg.max() - arg.min() + 1) / a.shape[1]))
         if ref_variables is not None:
             ref_out = _teacher_forced(model, ref_variables, jb, rng)
             ref_mel = ref_out.get("postnet_outputs",
@@ -149,6 +161,9 @@ def evaluate(config_path: str, checkpoint: str,
             float(np.mean(metrics["alignment_score"]))
             if metrics["alignment_score"] else None,
     }
+    for k in ("attn_monotonicity", "attn_coverage"):
+        if metrics.get(k):
+            result[k] = float(np.mean(metrics[k]))
     if parity:
         result["vs_ref_max_abs_diff"] = float(np.max(parity))
         result["vs_ref_allclose_1e3"] = bool(np.max(parity) <= 1e-3)
