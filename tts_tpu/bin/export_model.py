@@ -23,7 +23,10 @@ def main(argv=None):
                         default="tflite")
     parser.add_argument("--kind", choices=["vocoder", "tts"], default="vocoder")
     parser.add_argument("--frames", type=int, default=256,
-                        help="fixed mel-frame count for the export signature")
+                        help="fixed mel-frame count (vocoder) or text length "
+                             "(tts) for the export signature")
+    parser.add_argument("--y_max_length", type=int, default=400,
+                        help="glow tts: static mel-frame budget")
     parser.add_argument("--batch", type=int, default=1)
     args = parser.parse_args(argv)
 
@@ -60,19 +63,38 @@ def main(argv=None):
         variables = {"params": ckpt["params"]}
         if ckpt.get("batch_stats"):
             variables["batch_stats"] = ckpt["batch_stats"]
-        example = jnp.zeros((args.batch, args.frames), jnp.int32)
+        text = jnp.zeros((args.batch, args.frames), jnp.int32)
+        lens = jnp.full((args.batch,), args.frames, jnp.int32)
+        example = [text, lens]
 
-        def fn(text):
-            return model.apply(
-                variables, text, rngs={"dropout": jax.random.PRNGKey(0)},
-                method=model.inference,
-                max_decoder_steps=c.get("max_decoder_steps", 500),
-            )["postnet_outputs"]
+        if c.get("model", "").lower() in ("glow_tts", "glowtts", "glow"):
+            # duration-driven flow inversion at noise 0 (deterministic:
+            # no rng staged, so TFLite needs no threefry legalization —
+            # same staging tests/test_export.py:95-99 proves)
+            from tts_tpu.models.glow_tts import GlowTTS
+
+            def fn(t, tl):
+                out = model.apply(
+                    variables, t, tl, noise_scale=0.0,
+                    y_max_length=args.y_max_length,
+                    method=GlowTTS.inference)
+                return out["model_outputs"]
+        else:
+            # no rngs: inference binds its own fixed dropout stream, and
+            # staging a threefry rng would block TFLite legalization (same
+            # staging tests/test_export.py:73-75 proves for the scan decoder)
+            def fn(t, tl):
+                return model.apply(
+                    variables, t, tl, method=type(model).inference,
+                )["postnet_outputs"]
 
     if args.format == "tflite":
-        export_tflite(fn, [example], args.output_path)
+        export_tflite(fn, example if isinstance(example, list) else [example],
+                      args.output_path)
     else:
-        export_saved_model(fn, [example], args.output_path)
+        export_saved_model(fn,
+                           example if isinstance(example, list) else [example],
+                           args.output_path)
     print(f" > exported {args.kind} ({args.format}) to {args.output_path}")
 
 
