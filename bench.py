@@ -182,7 +182,7 @@ def build_glow_corpus_pipeline(batch=128, t_text=64, t_mel=248):
         gv = unfreeze(gv)
         dp = gv["params"]["encoder"]["duration_predictor"]["proj"]
         dp["kernel"] = jnp.zeros_like(dp["kernel"])
-        dp["bias"] = jnp.full_like(dp["bias"], jnp.log(7.0))  # expm1 -> 6
+        dp["bias"] = jnp.full_like(dp["bias"], jnp.log(6.5))  # ceil(expm1) -> 6; log(7.0) realizes 7 on TPU (expm1(log(7)) = 6.00001 there, ceil bumps it — measured 2026-08-22), truncating 41-char items at the 248 clip
     voc_plain, voc_packed = build_vocoder(t_mel, rng)
 
     @jax.jit

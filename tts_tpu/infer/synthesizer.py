@@ -108,6 +108,19 @@ class Synthesizer:
                         f"({self.vocoder_model.hop}) != vocoder audio "
                         f"hop_length ({self.vocoder_ap.hop_length}); "
                         f"fix the vocoder config")
+            # same loud-failure guard for the iSTFT-head family: it emits
+            # prod(upsample_factors) * hop_head samples per mel frame
+            from tts_tpu.models.vocoder.istft_melgan import \
+                ISTFTMelganGenerator
+            if isinstance(self.vocoder_model, ISTFTMelganGenerator):
+                total = self.vocoder_model.hop_head
+                for f in self.vocoder_model.upsample_factors:
+                    total *= f
+                if total != self.vocoder_ap.hop_length:
+                    raise ValueError(
+                        f"iSTFT-MelGAN total hop ({total}) != vocoder audio "
+                        f"hop_length ({self.vocoder_ap.hop_length}); "
+                        f"fix the vocoder config")
             # pack once for the whole-generator Pallas megakernel (the
             # fastest serving path; ops/pallas/fused_melgan.py) — on the
             # host CPU device for the same RTT reason as the fold above,

@@ -28,6 +28,17 @@ def setup_generator(c: Dict[str, Any]):
             base_channels=params.get("base_channels", 512),
             upsample_factors=tuple(params.get("upsample_factors", (2, 8, 2, 2))),
             num_res_blocks=params.get("num_res_blocks", 4))
+    if name == "istft_melgan_generator":
+        # capability addition (no reference counterpart): iSTFT-head MelGAN,
+        # see models/vocoder/istft_melgan.py
+        from tts_tpu.models.vocoder.istft_melgan import ISTFTMelganGenerator
+        return ISTFTMelganGenerator(
+            in_features=in_features,
+            base_channels=params.get("base_channels", 512),
+            upsample_factors=tuple(params.get("upsample_factors", (8, 8))),
+            num_res_blocks=params.get("num_res_blocks", 3),
+            n_fft_head=params.get("n_fft_head", 16),
+            hop_head=params.get("hop_head", 4))
     if name == "parallel_wavegan_generator":
         from tts_tpu.models.vocoder.pwgan import ParallelWaveganGenerator
         return ParallelWaveganGenerator(
